@@ -1,0 +1,102 @@
+"""Structured Streaming replay runner: change-log tail → lake upserts.
+
+The streaming form of the reference's ``Pipeline::run`` loop
+(/root/reference/ml-data/ml-data-core/src/schedule.rs:150-235):
+Spark's micro-batch scheduler is the loop, ``maxFilesPerTrigger`` is
+the batch-size/backpressure knob (schedule.rs:33-42,174-184), the
+checkpoint directory is the resumable-source contract
+(source.rs:43 ``reset``; data_source.rs:17-29 ``seek``), and each
+``foreachBatch`` invocation ends in an atomic snapshot commit.
+
+Resumability: killing the query and restarting with the same
+checkpoint replays only unprocessed files; a half-processed batch is
+re-delivered with the same ``batch_id``, which the lake table's
+watermark turns into a no-op → exactly-once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ml_data_pipeline_spark.cdc.apply import apply_batch
+from ml_data_pipeline_spark.cdc.events import CHANGE_SCHEMA
+from ml_data_pipeline_spark.lake.table import LakeTable
+
+
+def run_replay(
+    spark: SparkSession,
+    table_root: str,
+    events_dir: str,
+    checkpoint_dir: str,
+    *,
+    stream_id: str = "cdc",
+    schema=None,
+    max_files_per_trigger: int = 4,
+    salt: int | None = None,
+    compact_every: int | None = None,
+    write_metrics: bool = True,
+    stop_after_batches: int | None = None,
+    timeout_sec: float = 600.0,
+) -> dict:
+    """Replay the change-log directory into the lake table.
+
+    ``stop_after_batches`` kills the query mid-replay (the
+    kill-and-resume test hook); rerunning with the same checkpoint
+    resumes and converges to the same final state.
+    Returns {"batches": n_applied, "skipped": n_skipped}.
+    """
+    schema = schema or CHANGE_SCHEMA
+    table = LakeTable.load(spark, table_root)
+    stats = {"batches": 0, "skipped": 0}
+
+    def handle(batch_df, batch_id: int):
+        res = apply_batch(
+            table,
+            batch_df,
+            batch_id,
+            stream_id=stream_id,
+            salt=salt,
+            write_metrics=write_metrics,
+        )
+        if res.get("skipped"):
+            stats["skipped"] += 1
+        else:
+            stats["batches"] += 1
+            if compact_every and table.delta_file_count() >= compact_every:
+                table.compact()
+        if (
+            stop_after_batches is not None
+            and stats["batches"] >= stop_after_batches
+        ):
+            raise _StopReplay()
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+    q = (
+        reader.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    except Exception as e:  # noqa: BLE001 — surface real failures
+        if not _is_stop(e):
+            raise
+    finally:
+        if q.isActive:
+            q.stop()
+            q.awaitTermination(30)
+    return stats
+
+
+class _StopReplay(Exception):
+    """Raised inside foreachBatch to simulate a mid-replay crash."""
+
+
+def _is_stop(e: Exception) -> bool:
+    s = str(e)
+    return "_StopReplay" in s or isinstance(e, _StopReplay)

@@ -1,0 +1,602 @@
+"""LakeTable — a Spark-native snapshot-isolated upsert table.
+
+This is the engine's sink: the role Iceberg plays in the north rule,
+implemented from scratch on plain Parquet + JSON snapshot metadata
+because no lake-format jar ships in this sandbox. The commit contract
+is the same as Iceberg's:
+
+* **Atomic snapshot commit** — a snapshot JSON lists the exact data
+  files that make up the table version; the current version pointer is
+  swapped with an atomic ``os.replace``. Readers resolve the pointer
+  once and see a consistent file set. (Reference analog: the
+  ``Sink::flush`` finalization contract, /root/reference/ml-data/
+  ml-data-core/src/sink.rs:18 — flush = commit.)
+* **Merge-on-read CDC upserts** — ``merge_batch`` appends the batch's
+  per-key-resolved rows as *delta* files (append-only: this is what a
+  high-throughput CDC sink must do at 10^10-event scale; copy-on-write
+  per batch would rewrite the table continuously). The read path
+  reduces base+delta by max ``_seq`` per key; ``compact()`` folds
+  deltas into base files.
+* **Exactly-once** — each snapshot records a per-stream batch-id high
+  watermark; re-delivered micro-batches (streaming restart replays the
+  last uncommitted batch) are detected and skipped, so apply+commit is
+  idempotent. (Reference analog: resumable sources via ``reset``/
+  ``seek``, ml-data-core/src/source.rs:43, ml-data-readers/src/
+  data_source.rs:17-29.)
+* **Schema evolution** — incoming batches may add columns or widen
+  types; ``merge_schemas`` (the reference's compatibility lattice,
+  ml-data-core/src/schema.rs:206-253) evolves the snapshot schema;
+  old files are *not* rewritten — the scan casts every file group to
+  the current schema (Iceberg-style lazy evolution).
+
+Scale design: rows are hash-bucketed by the key column
+(``pmod(xxhash64(key), n_buckets)``); every file belongs to exactly
+one bucket. Merges only touch the buckets present in the batch;
+compaction is per-bucket and embarrassingly parallel; a point lookup
+prunes to one bucket. At 100 TB you raise ``n_buckets`` (e.g. 4096)
+so per-bucket compactions stay executor-sized; nothing else changes.
+
+Tombstones: deletes are stored as ``_deleted=true`` rows carrying
+their ``_seq``. They must survive compaction (a late lower-seq update
+must still lose to the delete); ``compact(gc_before_seq=...)`` drops
+tombstones older than a replay watermark.
+
+Single-writer assumption: commits are driven by one streaming query
+(or one batch driver). On an object store you would CAS the pointer
+through a catalog service; the protocol here is pointer-swap on a
+POSIX filesystem.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ml_data_pipeline_spark.lake.schema_evolution import (
+    SchemaMismatch,
+    merge_schemas,
+)
+
+SEQ_COL = "_seq"
+DELETED_COL = "_deleted"
+HIDDEN_COLS = (SEQ_COL, DELETED_COL)
+
+
+@dataclass
+class FileEntry:
+    path: str  # relative to table root
+    bucket: int
+    kind: str  # "base" | "delta"
+    rows: int
+    schema_fp: str  # fingerprint key into Snapshot.schemas
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "bucket": self.bucket,
+            "kind": self.kind,
+            "rows": self.rows,
+            "schema_fp": self.schema_fp,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "FileEntry":
+        return FileEntry(d["path"], d["bucket"], d["kind"], d["rows"], d["schema_fp"])
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    schema_json: dict  # current USER schema (no hidden columns)
+    key_col: str
+    n_buckets: int
+    files: list[FileEntry] = field(default_factory=list)
+    schemas: dict[str, dict] = field(default_factory=dict)  # fp -> storage schema json
+    watermarks: dict[str, int] = field(default_factory=dict)  # stream_id -> batch_id
+    summary: dict = field(default_factory=dict)
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.schema_json)
+
+    def storage_schema(self) -> T.StructType:
+        return T.StructType(
+            list(self.schema.fields)
+            + [
+                T.StructField(SEQ_COL, T.LongType(), False),
+                T.StructField(DELETED_COL, T.BooleanType(), False),
+            ]
+        )
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "schema": self.schema_json,
+            "key_col": self.key_col,
+            "n_buckets": self.n_buckets,
+            "files": [f.to_json() for f in self.files],
+            "schemas": self.schemas,
+            "watermarks": self.watermarks,
+            "summary": self.summary,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            parent_id=d.get("parent_id"),
+            schema_json=d["schema"],
+            key_col=d["key_col"],
+            n_buckets=d["n_buckets"],
+            files=[FileEntry.from_json(f) for f in d.get("files", [])],
+            schemas=d.get("schemas", {}),
+            watermarks=d.get("watermarks", {}),
+            summary=d.get("summary", {}),
+        )
+
+
+def _schema_fp(schema: T.StructType) -> str:
+    import hashlib
+
+    return hashlib.sha1(
+        json.dumps(schema.jsonValue(), sort_keys=True).encode()
+    ).hexdigest()[:12]
+
+
+class LakeTable:
+    """Snapshot-isolated, bucketed, merge-on-read upsert table."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        self._snapshot: Snapshot | None = None
+
+    # ------------------------------------------------------------- lifecycle
+
+    @property
+    def meta_dir(self) -> str:
+        return os.path.join(self.root, "_meta")
+
+    @property
+    def data_dir(self) -> str:
+        return os.path.join(self.root, "data")
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return os.path.exists(os.path.join(root, "_meta", "version-hint.txt"))
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_col: str,
+        n_buckets: int = 16,
+    ) -> "LakeTable":
+        if cls.exists(root):
+            raise ValueError(f"table already exists at {root}")
+        if key_col not in schema.fieldNames():
+            raise SchemaMismatch(f"key column {key_col!r} not in schema")
+        t = cls(spark, root)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        snap = Snapshot(
+            snapshot_id=0,
+            parent_id=None,
+            schema_json=schema.jsonValue(),
+            key_col=key_col,
+            n_buckets=n_buckets,
+        )
+        t._write_snapshot(snap)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
+        t = cls(spark, root)
+        t.refresh()
+        return t
+
+    def refresh(self) -> Snapshot:
+        hint = os.path.join(self.meta_dir, "version-hint.txt")
+        with open(hint) as f:
+            sid = int(f.read().strip())
+        with open(os.path.join(self.meta_dir, f"snapshot-{sid}.json")) as f:
+            self._snapshot = Snapshot.from_json(json.load(f))
+        return self._snapshot
+
+    @property
+    def snapshot(self) -> Snapshot:
+        if self._snapshot is None:
+            self.refresh()
+        return self._snapshot
+
+    @property
+    def schema(self) -> T.StructType:
+        return self.snapshot.schema
+
+    @property
+    def key_col(self) -> str:
+        return self.snapshot.key_col
+
+    def history(self) -> list[Snapshot]:
+        out = []
+        for name in sorted(os.listdir(self.meta_dir)):
+            if name.startswith("snapshot-") and name.endswith(".json"):
+                with open(os.path.join(self.meta_dir, name)) as f:
+                    out.append(Snapshot.from_json(json.load(f)))
+        return sorted(out, key=lambda s: s.snapshot_id)
+
+    # --------------------------------------------------------------- commit
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        path = os.path.join(self.meta_dir, f"snapshot-{snap.snapshot_id}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap.to_json(), f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        hint_tmp = os.path.join(self.meta_dir, f".hint-{uuid.uuid4().hex}.tmp")
+        with open(hint_tmp, "w") as f:
+            f.write(str(snap.snapshot_id))
+            f.flush()
+            os.fsync(f.fileno())
+        # Atomic pointer swap: THE commit point.
+        os.replace(hint_tmp, os.path.join(self.meta_dir, "version-hint.txt"))
+        self._snapshot = snap
+
+    # ---------------------------------------------------------------- write
+
+    def bucket_expr(self, key=None):
+        key = F.col(self.key_col) if key is None else key
+        return F.pmod(F.xxhash64(key), F.lit(self.snapshot.n_buckets)).cast("int")
+
+    def _write_files(self, df: DataFrame, kind: str) -> list[FileEntry]:
+        """Write rows (storage schema) as bucket-partitioned parquet files.
+
+        The bucket is recomputable from the key, so it is stored only in
+        metadata (directory name), not as a data column.
+        """
+        storage = self.snapshot.storage_schema()
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in storage.fields]
+        )
+        fp = _schema_fp(storage)
+        write_id = uuid.uuid4().hex
+        out_dir = os.path.join(self.data_dir, write_id)
+        (
+            df.withColumn("_bucket", self.bucket_expr())
+            # One shuffle, hash-partitioned by bucket → ~one file per
+            # bucket per write; AQE coalesces near-empty partitions.
+            .repartition(F.col("_bucket"))
+            .write.partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+        entries: list[FileEntry] = []
+        import pyarrow.parquet as pq
+
+        for dirpath, _dirs, files in os.walk(out_dir):
+            base = os.path.basename(dirpath)
+            if not base.startswith("_bucket="):
+                continue
+            bucket = int(base.split("=", 1)[1])
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, name)
+                rows = pq.ParquetFile(full).metadata.num_rows
+                entries.append(
+                    FileEntry(
+                        path=os.path.relpath(full, self.root),
+                        bucket=bucket,
+                        kind=kind,
+                        rows=rows,
+                        schema_fp=fp,
+                    )
+                )
+        return entries
+
+    # ----------------------------------------------------------------- read
+
+    def scan_files(
+        self,
+        buckets: Iterable[int] | None = None,
+        files: Sequence[FileEntry] | None = None,
+    ) -> DataFrame:
+        """Raw storage-schema rows from the selected snapshot files.
+
+        Files are grouped by their written schema fingerprint; each
+        group is read with its exact schema and cast/aligned to the
+        *current* storage schema (lazy schema evolution — old files are
+        never rewritten).
+        """
+        snap = self.snapshot
+        storage = snap.storage_schema()
+        sel = list(snap.files if files is None else files)
+        if buckets is not None:
+            bset = set(buckets)
+            sel = [f for f in sel if f.bucket in bset]
+        if not sel:
+            return self.spark.createDataFrame([], storage)
+        by_fp: dict[str, list[str]] = {}
+        for fe in sel:
+            by_fp.setdefault(fe.schema_fp, []).append(
+                os.path.join(self.root, fe.path)
+            )
+        parts: list[DataFrame] = []
+        for fp, paths in by_fp.items():
+            fschema = T.StructType.fromJson(snap.schemas[fp])
+            df = self.spark.read.schema(fschema).parquet(*paths)
+            cols = []
+            have = set(fschema.fieldNames())
+            for f_ in storage.fields:
+                if f_.name in have:
+                    cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+                else:
+                    # Field added after this file was written → null.
+                    cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    @staticmethod
+    def _reduce_latest(df: DataFrame, key_col: str) -> DataFrame:
+        """Per-key last-write-wins by max ``_seq``.
+
+        Uses ``groupBy + max(struct(_seq, ...))`` rather than a window
+        ``row_number``: struct-max is partially aggregable, so Spark
+        combines map-side before the shuffle — a hot key collapses to
+        one row per map task instead of shipping every version to a
+        single reducer. This is the skew-proof reduction primitive.
+        """
+        other = [c for c in df.columns if c not in (key_col, SEQ_COL)]
+        packed = df.groupBy(key_col).agg(
+            F.max(F.struct(SEQ_COL, *other)).alias("_p")
+        )
+        return packed.select(
+            key_col,
+            *[F.col(f"_p.{c}").alias(c) for c in other],
+            F.col(f"_p.{SEQ_COL}").alias(SEQ_COL),
+        )
+
+    def read(
+        self,
+        include_hidden: bool = False,
+        buckets: Iterable[int] | None = None,
+    ) -> DataFrame:
+        """Current table state: reduce base+delta, drop tombstones.
+
+        Re-resolves the version pointer first, so a reader always sees
+        the latest committed snapshot (snapshot isolation: the file
+        list is fixed once resolved).
+        """
+        snap = self.refresh()
+        raw = self.scan_files(buckets=buckets)
+        # Buckets whose files are all base files and carry no deltas are
+        # already reduced; only delta-bearing buckets need the groupBy.
+        delta_buckets = {f.bucket for f in snap.files if f.kind == "delta"}
+        if buckets is not None:
+            delta_buckets &= set(buckets)
+        if delta_buckets:
+            bexpr = self.bucket_expr()
+            need = raw.where(bexpr.isin([int(b) for b in delta_buckets]))
+            done = raw.where(~bexpr.isin([int(b) for b in delta_buckets]))
+            reduced = self._reduce_latest(need, snap.key_col).unionByName(done)
+        else:
+            reduced = raw
+        live = reduced.where(~F.col(DELETED_COL))
+        if include_hidden:
+            return live
+        return live.select(*snap.schema.fieldNames())
+
+    # ---------------------------------------------------------------- merge
+
+    def already_applied(self, stream_id: str, batch_id: int) -> bool:
+        wm = self.snapshot.watermarks.get(stream_id)
+        return wm is not None and batch_id <= wm
+
+    def merge_batch(
+        self,
+        events: DataFrame,
+        *,
+        seq_col: str = "seq",
+        op_col: str = "op",
+        batch_id: int | None = None,
+        stream_id: str = "default",
+        exclude_cols: Sequence[str] = ("ts",),
+        compact_touched: bool = False,
+        salt: int | None = None,
+        summary_extra: dict | None = None,
+    ) -> dict:
+        """Apply one micro-batch of change events. Returns metrics dict.
+
+        ``events`` columns: ``op`` ('I'|'U'|'D'), ``seq`` (long, the
+        LSN), the key column, payload columns. Semantics: per key the
+        max-``seq`` event wins, globally, across batches and replays —
+        enforced within the batch here and across batches by the
+        read/compaction reduce over stored ``_seq``.
+
+        Exactly-once: if ``batch_id`` is at-or-below the stream's
+        committed watermark the call is a no-op (replay after restart).
+        """
+        snap = self.snapshot
+        if batch_id is not None and self.already_applied(stream_id, batch_id):
+            return {
+                "skipped": True,
+                "stream_id": stream_id,
+                "batch_id": batch_id,
+                "snapshot_id": snap.snapshot_id,
+            }
+
+        # --- schema evolution -------------------------------------------
+        drop = {seq_col, op_col, *exclude_cols}
+        payload_fields = [f for f in events.schema.fields if f.name not in drop]
+        incoming = T.StructType(payload_fields)
+        merged = merge_schemas(snap.schema, incoming)
+        evolved = merged != snap.schema
+        schema_after = merged if evolved else snap.schema
+
+        # --- per-batch resolution (max-seq wins inside the batch) -------
+        ev = events.withColumn(SEQ_COL, F.col(seq_col).cast("long")).withColumn(
+            DELETED_COL, F.col(op_col) == F.lit("D")
+        )
+        cols = []
+        have = {f.name for f in payload_fields}
+        for f_ in schema_after.fields:
+            if f_.name in have:
+                cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+            else:
+                cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+        ev = ev.select(*cols, SEQ_COL, DELETED_COL)
+        # Null out payload on deletes so tombstones carry no stale data.
+        payload_cols = []
+        for f_ in schema_after.fields:
+            if f_.name == snap.key_col:
+                payload_cols.append(F.col(f_.name))
+            else:
+                payload_cols.append(
+                    F.when(F.col(DELETED_COL), F.lit(None).cast(f_.dataType))
+                    .otherwise(F.col(f_.name))
+                    .alias(f_.name)
+                )
+        ev = ev.select(*payload_cols, SEQ_COL, DELETED_COL)
+        if salt:
+            # Two-phase salted reduce for pathologically hot keys: the
+            # salt spreads one key over `salt` reducers, then a second
+            # tiny reduce finishes. max-by-seq is associative, so the
+            # split is exact.
+            salted = ev.withColumn(
+                "_salt", F.pmod(F.xxhash64(F.col(SEQ_COL)), F.lit(salt))
+            )
+            other = [c for c in ev.columns if c not in (snap.key_col, SEQ_COL)]
+            phase1 = salted.groupBy(snap.key_col, "_salt").agg(
+                F.max(F.struct(SEQ_COL, *other)).alias("_p")
+            )
+            resolved = (
+                phase1.groupBy(snap.key_col)
+                .agg(F.max("_p").alias("_p"))
+                .select(
+                    snap.key_col,
+                    *[F.col(f"_p.{c}").alias(c) for c in other],
+                    F.col(f"_p.{SEQ_COL}").alias(SEQ_COL),
+                )
+            )
+        else:
+            resolved = self._reduce_latest(ev, snap.key_col)
+
+        # --- evolve schema on the in-flight snapshot ---------------------
+        new_snap = Snapshot(
+            snapshot_id=snap.snapshot_id + 1,
+            parent_id=snap.snapshot_id,
+            schema_json=schema_after.jsonValue(),
+            key_col=snap.key_col,
+            n_buckets=snap.n_buckets,
+            files=list(snap.files),
+            schemas=dict(snap.schemas),
+            watermarks=dict(snap.watermarks),
+        )
+        self._snapshot = new_snap  # _write_files uses current storage schema
+
+        # --- append delta files ------------------------------------------
+        resolved = resolved.cache()
+        try:
+            new_files = self._write_files(resolved, kind="delta")
+            n_rows = sum(f.rows for f in new_files)
+            touched = sorted({f.bucket for f in new_files})
+            fp = _schema_fp(new_snap.storage_schema())
+            new_snap.schemas[fp] = new_snap.storage_schema().jsonValue()
+            new_snap.files = list(snap.files) + new_files
+
+            if compact_touched and touched:
+                self._compact_into(new_snap, touched, gc_before_seq=None)
+
+            if batch_id is not None:
+                new_snap.watermarks[stream_id] = batch_id
+            new_snap.summary = {
+                "operation": "merge",
+                "stream_id": stream_id,
+                "batch_id": batch_id,
+                "upsert_rows": n_rows,
+                "touched_buckets": touched,
+                "evolved": evolved,
+                **(summary_extra or {}),
+            }
+            self._write_snapshot(new_snap)
+        finally:
+            resolved.unpersist()
+        return {
+            "skipped": False,
+            "stream_id": stream_id,
+            "batch_id": batch_id,
+            "snapshot_id": new_snap.snapshot_id,
+            "upsert_rows": n_rows,
+            "touched_buckets": touched,
+            "schema_evolved": evolved,
+        }
+
+    # ------------------------------------------------------------- compact
+
+    def _compact_into(
+        self,
+        snap: Snapshot,
+        buckets: Sequence[int],
+        gc_before_seq: int | None,
+    ) -> None:
+        """Rewrite the given buckets of ``snap`` as reduced base files.
+
+        Mutates ``snap.files``/``snap.schemas`` in place; caller commits.
+        """
+        bset = set(buckets)
+        victims = [f for f in snap.files if f.bucket in bset]
+        if not victims:
+            return
+        raw = self.scan_files(files=victims)
+        reduced = self._reduce_latest(raw, snap.key_col)
+        if gc_before_seq is not None:
+            reduced = reduced.where(
+                (~F.col(DELETED_COL)) | (F.col(SEQ_COL) >= F.lit(gc_before_seq))
+            )
+        new_files = self._write_files(reduced, kind="base")
+        fp = _schema_fp(snap.storage_schema())
+        snap.schemas[fp] = snap.storage_schema().jsonValue()
+        keep = [f for f in snap.files if f.bucket not in bset]
+        snap.files = keep + new_files
+
+    def compact(
+        self,
+        buckets: Sequence[int] | None = None,
+        gc_before_seq: int | None = None,
+    ) -> dict:
+        """Fold delta files into base files (optionally GC old tombstones)."""
+        snap = self.snapshot
+        if buckets is None:
+            buckets = sorted({f.bucket for f in snap.files if f.kind == "delta"})
+        new_snap = Snapshot(
+            snapshot_id=snap.snapshot_id + 1,
+            parent_id=snap.snapshot_id,
+            schema_json=snap.schema_json,
+            key_col=snap.key_col,
+            n_buckets=snap.n_buckets,
+            files=list(snap.files),
+            schemas=dict(snap.schemas),
+            watermarks=dict(snap.watermarks),
+        )
+        self._snapshot = new_snap
+        self._compact_into(new_snap, list(buckets), gc_before_seq)
+        new_snap.summary = {"operation": "compact", "buckets": list(map(int, buckets))}
+        self._write_snapshot(new_snap)
+        return {"snapshot_id": new_snap.snapshot_id, "buckets": list(map(int, buckets))}
+
+    def delta_file_count(self) -> int:
+        return sum(1 for f in self.snapshot.files if f.kind == "delta")

@@ -1,0 +1,74 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Reference analog: the pipeline/reader default knobs of the Rust engine
+(/root/reference/ml-data/ml-data-core/src/schedule.rs:33-42,
+ /root/reference/ml-data/ml-data-readers/src/common.rs:49-65) — batch
+sizing, worker counts, backpressure. In Spark these become declarative
+session configs: AQE (runtime partition coalescing + skew-join
+splitting), Arrow-vectorized Python UDF transfer, and shuffle
+partition counts sized to the cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def build_session(
+    app_name: str = "ml-data-pipeline-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a local SparkSession tuned for this engine.
+
+    On a real cluster the same configs apply, minus ``master``; callers
+    submit via spark-submit and only the parallelism-derived settings
+    change. Shuffle partitions default to 2x cores locally; on a 1000-
+    executor cluster you would set this to ~2-3x total cores (or rely on
+    AQE coalescing from a high initial value, which is what we do).
+    """
+    cores = cores or default_parallelism()
+    shuffle_partitions = shuffle_partitions or max(cores * 2, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        # AQE: runtime coalescing of small shuffle partitions and
+        # skew-join splitting — both essential at 100 TB where static
+        # partition counts are always wrong for somebody.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for every pandas-UDF boundary; token arrays are wide, so
+        # keep record batches moderate to bound executor memory.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Parquet: keep pushdown on (default, but pin it — the reference
+        # implements zone-map skipping by hand; Spark does it here).
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Sane broadcast threshold; dims in this engine are small.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Deterministic timestamps in tests/oracles.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def get_or_create(cores: int | None = None) -> SparkSession:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    return build_session(cores=cores)

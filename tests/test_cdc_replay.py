@@ -1,0 +1,121 @@
+"""End-to-end CDC replay correctness vs the single-threaded oracle.
+
+The north-rule correctness gate (SURVEY.md §5.2): synthesize a change
+stream, replay it through the engine (batch and Structured Streaming
+paths), and assert exact token-array equality per doc_id against an
+independent pandas reducer — including out-of-order delivery,
+duplicate (at-least-once) delivery, kill-and-resume from checkpoint,
+and hot-key skew.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ml_data_pipeline_spark.cdc.apply import (
+    apply_batch,
+    create_docs_table,
+    read_lineage,
+    read_metrics,
+)
+from ml_data_pipeline_spark.cdc.events import generate_change_stream
+from ml_data_pipeline_spark.cdc.oracle import (
+    assert_state_equal,
+    expected_state,
+    load_events_pandas,
+)
+from ml_data_pipeline_spark.cdc.stream import run_replay
+from ml_data_pipeline_spark.lake.table import LakeTable
+
+N_DOCS, N_EVENTS = 300, 3000
+
+
+def _gen(spark, tmp_path, **kw):
+    ev_dir = str(tmp_path / "events")
+    generate_change_stream(
+        spark, ev_dir, N_DOCS, N_EVENTS, n_chunks=4, seed=42, **kw
+    )
+    return ev_dir
+
+
+def _check(table, ev_dir):
+    actual = table.read().toPandas()
+    expected = expected_state(load_events_pandas(ev_dir))
+    assert_state_equal(actual, expected)
+
+
+def test_batch_replay_matches_oracle(spark, tmp_path):
+    ev_dir = _gen(spark, tmp_path)
+    t = create_docs_table(spark, str(tmp_path / "tbl"), n_buckets=8)
+    ev = spark.read.parquet(ev_dir)
+    apply_batch(t, ev, batch_id=0)
+    _check(t, ev_dir)
+
+
+def test_streaming_replay_matches_oracle(spark, tmp_path):
+    ev_dir = _gen(spark, tmp_path, shuffle_window=200, dup_fraction=0.05)
+    t = create_docs_table(spark, str(tmp_path / "tbl"), n_buckets=8)
+    stats = run_replay(
+        spark,
+        t.root,
+        ev_dir,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=3,
+    )
+    assert stats["batches"] >= 2  # really micro-batched
+    _check(t, ev_dir)
+    # metrics + lineage tables populated, one metrics row per batch
+    m = read_metrics(t).toPandas()
+    assert len(m) == stats["batches"] + stats["skipped"]
+    li = read_lineage(t).toPandas()
+    assert li["rows"].sum() > 0 and li["input_file"].notna().any()
+
+
+def test_kill_and_resume_from_checkpoint(spark, tmp_path):
+    ev_dir = _gen(spark, tmp_path, dup_fraction=0.03)
+    t = create_docs_table(spark, str(tmp_path / "tbl"), n_buckets=8)
+    ckpt = str(tmp_path / "ckpt")
+    # Crash after 2 batches…
+    run_replay(
+        spark, t.root, ev_dir, ckpt, max_files_per_trigger=2, stop_after_batches=2
+    )
+    partial = LakeTable.load(spark, t.root).read().count()
+    # …then resume with the same checkpoint. The killed batch is
+    # re-delivered with the same batch_id → watermark no-op or clean
+    # re-apply; final state must equal a clean single run.
+    stats = run_replay(spark, t.root, ev_dir, ckpt, max_files_per_trigger=2)
+    assert partial >= 0 and (stats["batches"] + stats["skipped"]) >= 1
+    _check(t, ev_dir)
+
+
+def test_hot_key_skew_with_salt(spark, tmp_path):
+    ev_dir = _gen(spark, tmp_path, hot_key_fraction=0.10)
+    t = create_docs_table(spark, str(tmp_path / "tbl"), n_buckets=8)
+    run_replay(
+        spark, t.root, ev_dir, str(tmp_path / "ckpt"), salt=16,
+        max_files_per_trigger=4,
+    )
+    _check(t, ev_dir)
+
+
+def test_replay_with_periodic_compaction(spark, tmp_path):
+    ev_dir = _gen(spark, tmp_path)
+    t = create_docs_table(spark, str(tmp_path / "tbl"), n_buckets=8)
+    run_replay(
+        spark, t.root, ev_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, compact_every=8,
+    )
+    _check(t, ev_dir)
+
+
+def test_double_apply_batch_is_idempotent(spark, tmp_path):
+    ev_dir = _gen(spark, tmp_path)
+    t = create_docs_table(spark, str(tmp_path / "tbl"), n_buckets=8)
+    ev = spark.read.parquet(ev_dir)
+    apply_batch(t, ev, batch_id=0)
+    snap_before = t.snapshot.snapshot_id
+    res = apply_batch(t, ev, batch_id=0)
+    assert res["skipped"] and t.snapshot.snapshot_id == snap_before
+    _check(t, ev_dir)

@@ -1,0 +1,188 @@
+"""LakeTable unit tests: create/merge/read/compact/idempotence/evolution."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ml_data_pipeline_spark.cdc.events import CHANGE_SCHEMA, DOC_SCHEMA
+from ml_data_pipeline_spark.lake.table import LakeTable
+from ml_data_pipeline_spark.lake.schema_evolution import (
+    SchemaMismatch,
+    compatible_with,
+    merge_schemas,
+    merge_types,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, CHANGE_SCHEMA)
+
+
+E = [
+    # seq, op, doc_id, tokens, n_tok, source, ts
+    (1, "I", "d1", [1, 2, 3], 3, "web", None),
+    (2, "I", "d2", [4, 5], 2, "books", None),
+    (3, "U", "d1", [7, 8, 9, 10], 4, "web", None),
+    (4, "D", "d2", None, None, None, None),
+    (5, "I", "d3", [11], 1, "code", None),
+]
+
+
+def _mk_table(spark, tmp_path, n_buckets=4):
+    return LakeTable.create(
+        spark, str(tmp_path / "tbl"), DOC_SCHEMA, key_col="doc_id", n_buckets=n_buckets
+    )
+
+
+def test_merge_and_read(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    t.merge_batch(_events(spark, E), batch_id=0)
+    rows = {r["doc_id"]: r for r in t.read().collect()}
+    assert set(rows) == {"d1", "d3"}
+    assert rows["d1"]["tokens"] == [7, 8, 9, 10]
+    assert rows["d1"]["n_tok"] == 4
+    assert rows["d3"]["tokens"] == [11]
+
+
+def test_merge_across_batches_out_of_order(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    # Later batch carries an *older* seq for d1 — must lose.
+    t.merge_batch(_events(spark, E), batch_id=0)
+    late = [(2, "U", "d1", [99], 1, "web", None)]
+    t.merge_batch(_events(spark, late), batch_id=1)
+    rows = {r["doc_id"]: r for r in t.read().collect()}
+    assert rows["d1"]["tokens"] == [7, 8, 9, 10]
+    # And a late update for a deleted doc must stay deleted (tombstone).
+    late2 = [(3, "U", "d2", [42], 1, "web", None)]
+    t.merge_batch(_events(spark, late2), batch_id=2)
+    assert "d2" not in {r["doc_id"] for r in t.read().collect()}
+    # But a *newer* update resurrects it.
+    res = [(10, "U", "d2", [42], 1, "web", None)]
+    t.merge_batch(_events(spark, res), batch_id=3)
+    rows = {r["doc_id"]: r for r in t.read().collect()}
+    assert rows["d2"]["tokens"] == [42]
+
+
+def test_idempotent_replay(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    r1 = t.merge_batch(_events(spark, E), batch_id=0)
+    before = sorted(map(tuple, t.read().collect()))
+    r2 = t.merge_batch(_events(spark, E), batch_id=0)  # replay
+    assert not r1["skipped"] and r2["skipped"]
+    after = sorted(map(tuple, t.read().collect()))
+    assert before == after
+    assert t.snapshot.snapshot_id == r1["snapshot_id"]
+
+
+def test_compaction_preserves_state_and_tombstones(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    t.merge_batch(_events(spark, E), batch_id=0)
+    before = sorted(map(tuple, t.read().collect()))
+    assert t.delta_file_count() > 0
+    t.compact()
+    assert t.delta_file_count() == 0
+    assert sorted(map(tuple, t.read().collect())) == before
+    # Tombstone for d2 must have survived compaction: an older update
+    # arriving after compaction still loses.
+    t.merge_batch(_events(spark, [(3, "U", "d2", [1], 1, "web", None)]), batch_id=1)
+    assert "d2" not in {r["doc_id"] for r in t.read().collect()}
+    # GC the tombstone once the replay watermark passed it.
+    t.compact(gc_before_seq=100)
+    raw = t.scan_files()
+    assert raw.where(F.col("_deleted")).count() == 0
+
+
+def test_cow_mode_merges_eagerly(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    t.merge_batch(_events(spark, E), batch_id=0, compact_touched=True)
+    assert t.delta_file_count() == 0
+    rows = {r["doc_id"]: r for r in t.read().collect()}
+    assert rows["d1"]["tokens"] == [7, 8, 9, 10]
+
+
+def test_salted_reduce_matches_plain(spark, tmp_path):
+    t1 = _mk_table(spark, tmp_path / "a")
+    t2 = _mk_table(spark, tmp_path / "b")
+    hot = [(i, "U", "hot", [i], 1, "web", None) for i in range(200)] + list(E)
+    t1.merge_batch(_events(spark, hot), batch_id=0)
+    t2.merge_batch(_events(spark, hot), batch_id=0, salt=8)
+    a = sorted(map(tuple, t1.read().collect()))
+    b = sorted(map(tuple, t2.read().collect()))
+    assert a == b
+    hot_row = {r["doc_id"]: r for r in t1.read().collect()}["hot"]
+    assert hot_row["tokens"] == [199]
+
+
+def test_bucket_pruned_read(spark, tmp_path):
+    t = _mk_table(spark, tmp_path, n_buckets=8)
+    t.merge_batch(_events(spark, E), batch_id=0)
+    full = t.read().collect()
+    got = []
+    for b in range(8):
+        got.extend(t.read(buckets=[b]).collect())
+    assert sorted(map(tuple, got)) == sorted(map(tuple, full))
+
+
+# ---------------------------------------------------------------- evolution
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    t.merge_batch(_events(spark, E), batch_id=0)
+    v2 = T.StructType(CHANGE_SCHEMA.fields + [T.StructField("lang", T.StringType())])
+    ev = spark.createDataFrame(
+        [(10, "U", "d1", [1], 1, "web", None, "en")], v2
+    )
+    res = t.merge_batch(ev, batch_id=1)
+    assert res["schema_evolved"]
+    assert "lang" in t.schema.fieldNames()
+    rows = {r["doc_id"]: r for r in t.read().collect()}
+    assert rows["d1"]["lang"] == "en"
+    assert rows["d3"]["lang"] is None  # pre-evolution rows read as null
+
+
+def test_schema_evolution_widen_n_tok(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    t.merge_batch(_events(spark, E), batch_id=0)
+    v3 = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.LongType()),  # widened int32→int64
+            T.StructField("source", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    ev = spark.createDataFrame([(11, "U", "d3", [9, 9], 2, "code", None)], v3)
+    res = t.merge_batch(ev, batch_id=1)
+    assert res["schema_evolved"]
+    assert isinstance(t.schema["n_tok"].dataType, T.LongType)
+    rows = {r["doc_id"]: r for r in t.read().collect()}
+    assert rows["d3"]["n_tok"] == 2 and rows["d1"]["n_tok"] == 4
+
+
+def test_lattice():
+    assert compatible_with(T.IntegerType(), T.LongType())
+    assert compatible_with(T.LongType(), T.IntegerType())  # numeric↔numeric
+    assert compatible_with(T.NullType(), T.StringType())
+    assert compatible_with(
+        T.ArrayType(T.IntegerType()), T.ArrayType(T.DoubleType())
+    )
+    assert not compatible_with(T.StringType(), T.IntegerType())
+    assert merge_types(T.IntegerType(), T.LongType()) == T.LongType()
+    assert merge_types(T.LongType(), T.IntegerType()) == T.LongType()  # no narrow
+    assert merge_types(T.IntegerType(), T.FloatType()) == T.DoubleType()
+    with pytest.raises(SchemaMismatch):
+        merge_types(T.StringType(), T.ArrayType(T.IntegerType()))
+    m = merge_schemas(
+        T.StructType([T.StructField("a", T.IntegerType())]),
+        T.StructType(
+            [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+        ),
+    )
+    assert [f.name for f in m.fields] == ["a", "b"]
+    assert isinstance(m["a"].dataType, T.LongType) and m["b"].nullable
