@@ -1,0 +1,105 @@
+"""Similarity search over the embeddings table (array<float> columns).
+
+Brute-force cosine top-k as the correctness baseline plus a cosine
+near-duplicate pair scan. All vector math uses built-in higher-order
+array functions (`zip_with` + `aggregate`) — JVM-side, no Python.
+Reference analog: the tensor column machinery
+(/root/reference/ml-data/ml-data-core/src/tensor.rs — strided dense
+vectors) whose 1-D case is exactly our embedding/tokens arrays.
+
+Scale path: at 10^9 vectors brute force is O(n·q); the LSH-bucketed
+variant (random-hyperplane signatures, same banding machinery as
+operators.dedup) bounds each query to its bucket. Round-1 ships the
+exact operators; the ANN bucketing shares dedup's band-join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ml_data_pipeline_spark.sources.tables import load_table
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ann_topk_cosine(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Exact top-k nearest neighbours (cosine) of one query vector.
+
+    The query vector is broadcast (1 row); the scan is a single pass
+    with a distributed partial top-k (TakeOrderedAndProject) — no full
+    sort, no shuffle of the vectors.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != query_vec_id)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_expr(F.col("embedding"), F.col("q_emb")), 4).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        .limit(k)
+    )
+
+
+def cosine_neardup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """All vector pairs with cosine ≥ threshold (brute force n²/2).
+
+    At scale this becomes the LSH-banded pair scan; kept exact here as
+    the oracle-checkable baseline.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("emb_a"), F.col("emb_b")), 4).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics (per-row fold → exact decimal sum)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.round(_norm(F.col("embedding")), 4)
+    return (
+        e.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("nrm").cast("decimal(18,4)")).cast("double").alias(
+                "sum_norm"
+            ),
+        )
+        .orderBy("label")
+    )

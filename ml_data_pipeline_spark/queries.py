@@ -1,0 +1,396 @@
+"""Query registry: name → (Spark callable, DuckDB oracle SQL).
+
+The driver contract (`__spark_entry__.py`) exposes `queries()` and
+`oracle_sql()` from this registry. Every oracle reproduces the Spark
+result bit-for-bit: aggregates of money-like doubles go through exact
+DECIMAL casts, per-row double math is rounded identically on both
+sides, and hashes are md5-based (identical in both engines). Column
+aliases match exactly (the driver sorts columns by name and hashes
+values).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ml_data_pipeline_spark.operators import (
+    dedup,
+    multimodal,
+    relational as R,
+    similarity,
+    text as TX,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {
+    # relational
+    "q1_pricing_summary": R.q1_pricing_summary,
+    "filter_pushdown_agg": R.filter_pushdown_agg,
+    "q3_shipping_priority": R.q3_shipping_priority,
+    "join_dims_broadcast": R.join_dims_broadcast,
+    "anti_join_customers_without_orders": R.anti_join_customers_without_orders,
+    "semi_join_parts_shipped": R.semi_join_parts_shipped,
+    "topk_orders_per_customer": R.topk_orders_per_customer,
+    "latest_event_per_user": R.latest_event_per_user,
+    "running_total_per_customer": R.running_total_per_customer,
+    "lag_prev_event": R.lag_prev_event,
+    "fill_forward_values": R.fill_forward_values,
+    "rollup_order_stats": R.rollup_order_stats,
+    "tumbling_window_events": R.tumbling_window_events,
+    "percentile_value_by_type": R.percentile_value_by_type,
+    "distinct_users_per_type": R.distinct_users_per_type,
+    "setop_active_not_building": R.setop_active_not_building,
+    "union_intersect_counts": R.union_intersect_counts,
+    # dedup
+    "dedup_exact": dedup.dedup_exact,
+    "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+    "minhash_signatures": dedup.minhash_signatures,
+    "minhash_lsh_candidates": dedup.minhash_lsh_candidates,
+    # similarity
+    "ann_topk_cosine": similarity.ann_topk_cosine,
+    "cosine_neardup_pairs": similarity.cosine_neardup_pairs,
+    "vector_norm_stats": similarity.vector_norm_stats,
+    # text
+    "token_count_stats": TX.token_count_stats,
+    "quality_scores": TX.quality_scores,
+    "langid_heuristic": TX.langid_heuristic,
+    "doc_fingerprints": TX.doc_fingerprints,
+    # multimodal
+    "binary_payload_features": multimodal.binary_payload_features,
+}
+
+# DuckDB shingle helper (matches operators.dedup._shingles: 3-word
+# shingles, distinct, over single-space word split).
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(string_split(text,' '))-2, 1)),"
+    " i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))"
+)
+
+_MINHASH_COLS = ", ".join(
+    f"min(md5('{i}:' || s)) AS mh{i}" for i in range(dedup.N_HASHES)
+)
+
+_ORACLES: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "filter_pushdown_agg": """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_quantity < 25
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate  > TIMESTAMP '1996-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "join_dims_broadcast": """
+        SELECT r_name,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+    """,
+    "anti_join_customers_without_orders": """
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_totalprice > 300000)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    "semi_join_parts_shipped": """
+        SELECT p_brand, COUNT(*) AS n_parts
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+    "topk_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, rk FROM (
+            SELECT o_custkey, o_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM orders)
+        WHERE rk <= 3
+    """,
+    "latest_event_per_user": """
+        SELECT user_id,
+               event_id AS last_event_id,
+               event_type AS last_event_type,
+               value AS last_value
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
+        ORDER BY user_id
+    """,
+    "running_total_per_customer": """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_total
+        FROM orders
+    """,
+    "lag_prev_event": """
+        SELECT user_id, event_id,
+               LAG(value, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_value
+        FROM events
+    """,
+    "fill_forward_values": """
+        SELECT user_id, event_id,
+               LAST_VALUE(v IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS filled_value
+        FROM (SELECT user_id, event_id, ts,
+                     CASE WHEN event_type = 'purchase' THEN value END AS v
+              FROM events)
+    """,
+    "rollup_order_stats": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
+    "tumbling_window_events": """
+        SELECT date_trunc('day', ts) AS day, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY day, event_type
+    """,
+    "percentile_value_by_type": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 2) AS p50_value,
+               ROUND(quantile_cont(value, 0.9), 2) AS p90_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "distinct_users_per_type": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "setop_active_not_building": """
+        SELECT custkey FROM (
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            EXCEPT
+            SELECT c_custkey AS custkey FROM customer
+            WHERE c_mktsegment = 'BUILDING')
+        ORDER BY custkey
+    """,
+    "union_intersect_counts": """
+        SELECT
+          (SELECT COUNT(*) FROM (
+              SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+              UNION
+              SELECT o_custkey AS k FROM orders)) AS n_union,
+          (SELECT COUNT(*) FROM (
+              SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+              INTERSECT
+              SELECT DISTINCT o_custkey AS k FROM orders)) AS n_intersect
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash,
+               MIN(doc_id) AS survivor_doc_id,
+               COUNT(*) AS n_copies
+        FROM (SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id, text FROM documents)
+        GROUP BY md5(text)
+        ORDER BY survivor_doc_id
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH sh AS (
+            SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+        sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        overlap AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_common,
+               ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+        FROM overlap
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
+        ORDER BY doc_a, doc_b
+    """,
+    "minhash_signatures": f"""
+        WITH ex AS (
+            SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents)
+        SELECT doc_id, {_MINHASH_COLS}
+        FROM ex GROUP BY doc_id ORDER BY doc_id
+    """,
+    "minhash_lsh_candidates": f"""
+        WITH ex AS (
+            SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
+        sig AS (SELECT doc_id, {_MINHASH_COLS} FROM ex GROUP BY doc_id),
+        banded AS (
+            SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bucket FROM sig
+            UNION ALL
+            SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+            UNION ALL
+            SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+            UNION ALL
+            SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id),
+        sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents)
+        SELECT doc_a, doc_b,
+               ROUND(len(list_intersect(sa.shingles, sb.shingles)) /
+                     len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4)
+                   AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+        WHERE ROUND(len(list_intersect(sa.shingles, sb.shingles)) /
+                    len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.2
+        ORDER BY doc_a, doc_b
+    """,
+    "ann_topk_cosine": """
+        WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id AS neighbor_id,
+               ROUND(
+                 list_sum(list_transform(list_zip(embedding, q_emb),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+                 (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                  sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                 4) AS cosine
+        FROM embeddings, q
+        WHERE vec_id != 0
+        ORDER BY cosine DESC, neighbor_id ASC
+        LIMIT 10
+    """,
+    "cosine_neardup_pairs": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(
+                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+                 (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                  sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                 4) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(
+                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+                 (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                  sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                 4) >= 0.5
+        ORDER BY id_a, id_b
+    """,
+    "vector_norm_stats": """
+        SELECT label,
+               COUNT(*) AS n_vecs,
+               CAST(SUM(CAST(ROUND(sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS sum_norm
+        FROM embeddings
+        GROUP BY label
+        ORDER BY label
+    """,
+    "token_count_stats": """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(len(string_split(text, ' '))) AS total_tokens,
+               ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 4)
+                   AS avg_tokens
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    "quality_scores": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               ROUND(CAST(len(list_filter(string_split(text, ' '),
+                         t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 4) AS stop_ratio,
+               ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len(string_split(text, ' ')), 4) AS mean_word_len,
+               (len(string_split(text, ' ')) >= 20 AND
+                len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the','a','of','and','to'))) > 0) AS keep
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "langid_heuristic": """
+        SELECT lang,
+               CASE WHEN (' '||text||' ') LIKE '% der %'
+                      OR (' '||text||' ') LIKE '% und %' THEN 'de'
+                    WHEN (' '||text||' ') LIKE '% le %'
+                      OR (' '||text||' ') LIKE '% et %' THEN 'fr'
+                    WHEN (' '||text||' ') LIKE '% el %'
+                      OR (' '||text||' ') LIKE '% y %' THEN 'es'
+                    WHEN (' '||text||' ') LIKE '% zh %' THEN 'zh'
+                    ELSE 'en' END AS pred,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY lang, pred
+    """,
+    "doc_fingerprints": """
+        SELECT doc_id,
+               substr(md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), 1, 16)
+                   AS fingerprint
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "binary_payload_features": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               md5(text) AS digest,
+               'raw' AS sniffed_format
+        FROM documents
+        ORDER BY doc_id
+    """,
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
