@@ -1,0 +1,150 @@
+"""Benchmark harness (driver contract, BASELINE.md target metric).
+
+Runs (1) every registry query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], and (2) the CDC
+replay benchmark — the north-rule headline: change-events/sec applied
+into the lake table, measured at two parallelism levels (local[N] and
+local[4N] on the SAME input) to evidence the ≥0.8 scaling-efficiency
+criterion in this single-machine sandbox.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "cdc": {"n_events": ..., "events_per_sec_n": ...,
+           "events_per_sec_4n": ..., "scaling_efficiency": ...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CDC_DOCS = int(os.environ.get("BENCH_CDC_DOCS", "500000"))
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "20000000"))
+# N vs 4N parallelism pair: N = CPUS/8 (e.g. 4 vs 16 on a 32-core box)
+# keeps BOTH runs within physical cores — comparing an oversubscribed
+# local[32] against local[8] would measure the host's SMT/steal, not
+# the engine's scaling.
+SCALE_N = int(os.environ.get("BENCH_SCALE_N", str(max(2, CPUS // 8))))
+
+
+def _sf_label(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_queries(spark) -> dict[str, float]:
+    from ml_data_pipeline_spark import queries as registry
+
+    times: dict[str, float] = {}
+    for name, fn in registry.queries().items():
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        n = df.count()  # full execution; result sizes are small-to-mid
+        times[name] = round(time.monotonic() - t0, 3)
+        del n
+    return times
+
+
+def bench_cdc_at(
+    cores: int, events_dir: str, n_events: int, reps: int = 3
+) -> dict:
+    """Replay the pre-generated change stream at local[cores] in a
+    fresh subprocess (own JVM: heap scaled to core count, isolated
+    JIT/GC state — see cdc/bench_worker.py). Returns the worker's
+    result dict; events/sec is computed from the best of ``reps`` runs
+    (steady-state throughput — a CDC pipeline is a continuously
+    running job, so warmed-JIT throughput is the meaningful number)."""
+    import subprocess
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "ml_data_pipeline_spark.cdc.bench_worker",
+            str(cores),
+            events_dir,
+            str(n_events),
+            str(reps),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=1800,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"bench worker failed: {out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    from ml_data_pipeline_spark.cdc.events import generate_change_stream
+    from ml_data_pipeline_spark.session import build_session
+
+    total_t0 = time.monotonic()
+
+    spark = build_session(app_name="bench", cores=CPUS)
+    qtimes = run_queries(spark)
+
+    # Generate the CDC input once (excluded from timing), reuse for
+    # both parallelism levels.
+    events_dir = tempfile.mkdtemp(prefix="cdc-bench-events-")
+    n_dup = CDC_EVENTS
+    generate_change_stream(
+        spark,
+        events_dir,
+        CDC_DOCS,
+        CDC_EVENTS,
+        n_chunks=8,
+        seed=42,
+        hot_key_fraction=0.01,
+        dup_fraction=0.0,
+        shuffle_window=10_000,
+        max_tokens=48,
+    )
+    spark.stop()
+
+    reps = int(os.environ.get("BENCH_CDC_REPS", "4"))
+    try:
+        r_n = bench_cdc_at(SCALE_N, events_dir, n_dup, reps=reps)
+        r_4n = bench_cdc_at(SCALE_N * 4, events_dir, n_dup, reps=reps)
+    finally:
+        shutil.rmtree(events_dir, ignore_errors=True)
+    tp_n, tp_4n = r_n["events_per_sec"], r_4n["events_per_sec"]
+    eff = (tp_4n / tp_n) / 4.0
+
+    total = time.monotonic() - total_t0
+    out = {
+        "metric": "suite_wall_plus_cdc_replay",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": _sf_label(SF_DIR),
+        "cdc": {
+            "n_docs": CDC_DOCS,
+            "n_events": n_dup,
+            "cores_n": SCALE_N,
+            "cores_4n": SCALE_N * 4,
+            "events_per_sec_n": round(tp_n, 1),
+            "events_per_sec_4n": round(tp_4n, 1),
+            "walls_n": r_n["walls"],
+            "walls_4n": r_4n["walls"],
+            "scaling_efficiency": round(eff, 3),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

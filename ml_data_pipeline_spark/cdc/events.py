@@ -72,14 +72,18 @@ def change_events_df(
     delete_fraction: float = 0.05,
     max_tokens: int = MAX_TOKENS_DEFAULT,
     extra_cols: bool = False,
+    seq_start: int = 0,
 ) -> DataFrame:
     """Deterministic change stream as a DataFrame of CHANGE_SCHEMA rows.
 
     ``hot_key_fraction``: fraction of events routed to doc_id 0 (the
     skew fixture). ``extra_cols`` adds a ``lang`` column (schema-
-    evolution fixture, FIXTURES.md A3).
+    evolution fixture, FIXTURES.md A3). ``seq_start`` offsets the LSN
+    range so multiple epochs share one LSN space.
     """
-    df = spark.range(0, n_events, 1).withColumnRenamed("id", "seq")
+    df = spark.range(seq_start, seq_start + n_events, 1).withColumnRenamed(
+        "id", "seq"
+    )
     s = F.col("seq")
 
     hot = _pm(_h(seed, "hot", s), 10_000) < int(hot_key_fraction * 10_000)
@@ -146,15 +150,19 @@ def generate_change_stream(
     shuffle_window: int = 0,
     max_tokens: int = MAX_TOKENS_DEFAULT,
     extra_cols: bool = False,
+    seq_start: int = 0,
 ) -> list[str]:
     """Write the change stream as ``n_chunks`` Parquet delivery chunks.
 
-    Chunks model binlog segments: each chunk is one ingest unit for the
-    streaming file source. ``shuffle_window`` displaces events across
-    chunk boundaries (out-of-order delivery); ``dup_fraction`` re-
-    delivers a slice of events in a *later* chunk (at-least-once
-    delivery). Both must be absorbed by the engine's max-seq semantics.
-    Returns the chunk directories in delivery order.
+    Chunks model binlog segments (directories ``chunk=K/``): each is
+    one ingest unit for the streaming file source. ``shuffle_window``
+    displaces events across chunk boundaries (out-of-order delivery);
+    ``dup_fraction`` re-delivers a slice of events in a *later* chunk
+    (at-least-once delivery). Both must be absorbed by the engine's
+    max-seq semantics — which also makes file-arrival ordering across
+    chunks irrelevant, so the whole stream is written in ONE
+    partitioned job (a per-chunk loop would re-evaluate the generator
+    n_chunks times). Returns the chunk directories in delivery order.
     """
     df = change_events_df(
         spark,
@@ -165,9 +173,10 @@ def generate_change_stream(
         delete_fraction=delete_fraction,
         max_tokens=max_tokens,
         extra_cols=extra_cols,
+        seq_start=seq_start,
     )
     per = max(1, n_events // n_chunks)
-    s = F.col("seq")
+    s = F.col("seq") - F.lit(seq_start)
     disp = s
     if shuffle_window > 0:
         disp = s + _pm(_h(seed, "ooo", s), 2 * shuffle_window + 1) - F.lit(
@@ -176,27 +185,28 @@ def generate_change_stream(
     chunk = F.least(
         F.greatest((disp / per).cast("int"), F.lit(0)), F.lit(n_chunks - 1)
     )
-    df = df.withColumn("_chunk", chunk)
+    df = df.withColumn("chunk", chunk)
     if dup_fraction > 0:
         dup = df.where(
             _pm(_h(seed, "dup", s), 10_000) < int(dup_fraction * 10_000)
         ).withColumn(
-            "_chunk",
-            F.least(F.col("_chunk") + F.lit(1), F.lit(n_chunks - 1)),
+            "chunk",
+            F.least(F.col("chunk") + F.lit(1), F.lit(n_chunks - 1)),
         )
         df = df.unionByName(dup)
 
     os.makedirs(out_dir, exist_ok=True)
-    paths = []
-    for i in range(n_chunks):
-        # One directory-append per chunk, in delivery order, so the
-        # streaming file source sees monotone modification times.
-        (
-            df.where(F.col("_chunk") == i)
-            .drop("_chunk")
-            .coalesce(max(1, spark.sparkContext.defaultParallelism // 4))
-            .write.mode("append")
-            .parquet(out_dir)
-        )
-        paths.append(out_dir)
-    return paths
+    # Several files per core per chunk: micro-batch scan parallelism is
+    # bounded by file count (a one-row-group parquet file is
+    # unsplittable), so binlog segments must be written fine-grained
+    # enough for the consumers' cluster.
+    files_per_chunk = max(2, spark.sparkContext.defaultParallelism)
+    df = df.withColumn("_file", _pm(_h(seed, "file", F.col("seq")), files_per_chunk))
+    (
+        df.repartition(n_chunks * files_per_chunk, "chunk", "_file")
+        .drop("_file")
+        .write.mode("append")
+        .partitionBy("chunk")
+        .parquet(out_dir)
+    )
+    return [os.path.join(out_dir, f"chunk={i}") for i in range(n_chunks)]

@@ -73,6 +73,9 @@ def run_replay(
     reader = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
+        # Binlog segments live in chunk=K/ subdirectories; recursive
+        # lookup reads them without partition-column inference.
+        .option("recursiveFileLookup", "true")
         .parquet(events_dir)
     )
     q = (

@@ -281,29 +281,38 @@ class LakeTable:
             .write.partitionBy("_bucket")
             .parquet(out_dir)
         )
-        entries: list[FileEntry] = []
-        import pyarrow.parquet as pq
-
+        found: list[tuple[str, int]] = []
         for dirpath, _dirs, files in os.walk(out_dir):
             base = os.path.basename(dirpath)
             if not base.startswith("_bucket="):
                 continue
             bucket = int(base.split("=", 1)[1])
             for name in files:
-                if not name.endswith(".parquet"):
-                    continue
-                full = os.path.join(dirpath, name)
-                rows = pq.ParquetFile(full).metadata.num_rows
-                entries.append(
-                    FileEntry(
-                        path=os.path.relpath(full, self.root),
-                        bucket=bucket,
-                        kind=kind,
-                        rows=rows,
-                        schema_fp=fp,
-                    )
-                )
-        return entries
+                if name.endswith(".parquet"):
+                    found.append((os.path.join(dirpath, name), bucket))
+
+        # Footer reads in a thread pool: serial driver-side metadata IO
+        # is exactly the kind of per-commit fixed cost that Amdahl-caps
+        # a micro-batch pipeline.
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        def _rows(path: str) -> int:
+            return pq.ParquetFile(path).metadata.num_rows
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            counts = list(ex.map(_rows, (p for p, _ in found)))
+        return [
+            FileEntry(
+                path=os.path.relpath(p, self.root),
+                bucket=b,
+                kind=kind,
+                rows=r,
+                schema_fp=fp,
+            )
+            for (p, b), r in zip(found, counts)
+        ]
 
     # ----------------------------------------------------------------- read
 
@@ -414,7 +423,7 @@ class LakeTable:
         op_col: str = "op",
         batch_id: int | None = None,
         stream_id: str = "default",
-        exclude_cols: Sequence[str] = ("ts",),
+        exclude_cols: Sequence[str] = ("ts", "chunk"),
         compact_touched: bool = False,
         salt: int | None = None,
         summary_extra: dict | None = None,
@@ -509,32 +518,30 @@ class LakeTable:
         self._snapshot = new_snap  # _write_files uses current storage schema
 
         # --- append delta files ------------------------------------------
-        resolved = resolved.cache()
-        try:
-            new_files = self._write_files(resolved, kind="delta")
-            n_rows = sum(f.rows for f in new_files)
-            touched = sorted({f.bucket for f in new_files})
-            fp = _schema_fp(new_snap.storage_schema())
-            new_snap.schemas[fp] = new_snap.storage_schema().jsonValue()
-            new_snap.files = list(snap.files) + new_files
+        # Single action: resolved flows straight into the delta write
+        # (no cache — nothing re-reads the logical plan).
+        new_files = self._write_files(resolved, kind="delta")
+        n_rows = sum(f.rows for f in new_files)
+        touched = sorted({f.bucket for f in new_files})
+        fp = _schema_fp(new_snap.storage_schema())
+        new_snap.schemas[fp] = new_snap.storage_schema().jsonValue()
+        new_snap.files = list(snap.files) + new_files
 
-            if compact_touched and touched:
-                self._compact_into(new_snap, touched, gc_before_seq=None)
+        if compact_touched and touched:
+            self._compact_into(new_snap, touched, gc_before_seq=None)
 
-            if batch_id is not None:
-                new_snap.watermarks[stream_id] = batch_id
-            new_snap.summary = {
-                "operation": "merge",
-                "stream_id": stream_id,
-                "batch_id": batch_id,
-                "upsert_rows": n_rows,
-                "touched_buckets": touched,
-                "evolved": evolved,
-                **(summary_extra or {}),
-            }
-            self._write_snapshot(new_snap)
-        finally:
-            resolved.unpersist()
+        if batch_id is not None:
+            new_snap.watermarks[stream_id] = batch_id
+        new_snap.summary = {
+            "operation": "merge",
+            "stream_id": stream_id,
+            "batch_id": batch_id,
+            "upsert_rows": n_rows,
+            "touched_buckets": touched,
+            "evolved": evolved,
+            **(summary_extra or {}),
+        }
+        self._write_snapshot(new_snap)
         return {
             "skipped": False,
             "stream_id": stream_id,

@@ -66,26 +66,53 @@ def ann_topk_cosine(
 def cosine_neardup_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5
 ) -> DataFrame:
-    """All vector pairs with cosine ≥ threshold (brute force n²/2).
+    """All vector pairs with cosine ≥ threshold, via blocked GEMM.
 
-    At scale this becomes the LSH-banded pair scan; kept exact here as
-    the oracle-checkable baseline.
+    One side is L2-normalized, collected, and broadcast as a dense
+    float64 matrix (n×d — a few MB at these SFs); `mapInPandas`
+    partitions stream the other side through a numpy matrix multiply
+    and emit only the above-threshold (id_a < id_b) pairs. A per-pair
+    expression join would interpret the fold lambda per element
+    (higher-order functions don't enter whole-stage codegen) — GEMM is
+    ~two orders of magnitude faster.
+
+    Scale path: at 10^9 vectors the broadcast side becomes LSH/IVF
+    buckets (see operators.dedup banding) and GEMM runs per bucket;
+    the Spark-side shape (broadcast block + mapInPandas) is identical.
     """
+    import numpy as np
+    import pandas as pd
+
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_expr(F.col("emb_a"), F.col("emb_b")), 4).alias(
-                "cosine"
-            ),
-        )
-        .where(F.col("cosine") >= threshold)
-        .orderBy("id_a", "id_b")
-    )
+    rows = e.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    out_schema = "id_a bigint, id_b bigint, cosine double"
+
+    def block(batches):
+        all_ids = b_ids.value
+        all_mat = b_mat.value
+        for pdf in batches:
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = np.round(q @ all_mat.T, 4)
+            qids = pdf["vec_id"].to_numpy()
+            ri, ci = np.where(sims >= threshold)
+            ida, idb = qids[ri], all_ids[ci]
+            keep = ida < idb
+            yield pd.DataFrame(
+                {
+                    "id_a": ida[keep],
+                    "id_b": idb[keep],
+                    "cosine": sims[ri, ci][keep],
+                }
+            )
+
+    return e.mapInPandas(block, out_schema).orderBy("id_a", "id_b")
 
 
 def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

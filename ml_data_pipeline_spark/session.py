@@ -51,6 +51,17 @@ def build_session(
         # keep record batches moderate to bound executor memory.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Input split sizing: token-array parquet decodes at ~10-15×
+        # its on-disk size (dictionary+RLE packed int32 lists), so the
+        # 128 MB default maxPartitionBytes yields partitions that are
+        # (a) too few to use the cluster and (b) ~2 GB decoded. Size
+        # splits for the DECODED data, not the file bytes.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
+        # ≥3 waves of input splits per core: under CPU steal (shared
+        # host) a single-wave stage stalls on its slowest thread;
+        # fine-grained splits let fast threads absorb stragglers.
+        .config("spark.sql.files.minPartitionNum", str(cores * 3))
         # Parquet: keep pushdown on (default, but pin it — the reference
         # implements zone-map skipping by hand; Spark does it here).
         .config("spark.sql.parquet.filterPushdown", "true")
