@@ -1,0 +1,149 @@
+"""spark-submit entrypoint for the CDC engine.
+
+Ship the package as a zip and run any subcommand on a cluster:
+
+    python scripts/build_pyfiles.py                # → dist/mlp_spark.zip
+    spark-submit --py-files dist/mlp_spark.zip \
+        ml_data_pipeline_spark/cdc/__main__.py replay \
+        --table /lake/docs --events /binlog/docs \
+        --checkpoint /ckpt/docs --salt 16
+
+Subcommands:
+    create-table  — initialize the lake table (input_hint schema)
+    replay        — tail the change-log directory into the table
+                    (availableNow replay; rerun to pick up new files)
+    compact       — fold delta files into base files (optionally GC
+                    tombstones below a replay watermark)
+    generate      — write a deterministic synthetic change stream
+    show          — print snapshot + row count
+
+On a cluster, drop the --cores flag and let spark-submit's --master/
+--num-executors decide; build_session only forces local[] when no
+master is configured.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _session(args):
+    from pyspark.sql import SparkSession
+
+    from ml_data_pipeline_spark.session import build_session
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    return build_session(app_name=f"cdc-{args.cmd}", cores=args.cores)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ml_data_pipeline_spark.cdc")
+    p.add_argument("--cores", type=int, default=None, help="local[] cores")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("create-table")
+    c.add_argument("--table", required=True)
+    c.add_argument("--buckets", type=int, default=64)
+
+    r = sub.add_parser("replay")
+    r.add_argument("--table", required=True)
+    r.add_argument("--events", required=True)
+    r.add_argument("--checkpoint", required=True)
+    r.add_argument("--stream-id", default="cdc")
+    r.add_argument("--max-files-per-trigger", type=int, default=64)
+    r.add_argument("--salt", type=int, default=None)
+    r.add_argument("--compact-every", type=int, default=None)
+    r.add_argument("--with-lang", action="store_true",
+                   help="expect the evolved v2 schema (adds lang)")
+
+    k = sub.add_parser("compact")
+    k.add_argument("--table", required=True)
+    k.add_argument("--gc-before-seq", type=int, default=None)
+
+    g = sub.add_parser("generate")
+    g.add_argument("--out", required=True)
+    g.add_argument("--docs", type=int, default=10000)
+    g.add_argument("--events", type=int, default=100000)
+    g.add_argument("--chunks", type=int, default=8)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--hot-key-fraction", type=float, default=0.0)
+    g.add_argument("--dup-fraction", type=float, default=0.0)
+    g.add_argument("--shuffle-window", type=int, default=0)
+
+    s = sub.add_parser("show")
+    s.add_argument("--table", required=True)
+
+    args = p.parse_args(argv)
+    spark = _session(args)
+
+    from ml_data_pipeline_spark.cdc.apply import create_docs_table
+    from ml_data_pipeline_spark.cdc.events import (
+        CHANGE_SCHEMA,
+        generate_change_stream,
+    )
+    from ml_data_pipeline_spark.cdc.stream import run_replay
+    from ml_data_pipeline_spark.lake.table import LakeTable
+
+    if args.cmd == "create-table":
+        t = create_docs_table(spark, args.table, n_buckets=args.buckets)
+        print(json.dumps({"created": t.root, "buckets": args.buckets}))
+    elif args.cmd == "replay":
+        schema = CHANGE_SCHEMA
+        if args.with_lang:
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                CHANGE_SCHEMA.fields + [T.StructField("lang", T.StringType())]
+            )
+        stats = run_replay(
+            spark,
+            args.table,
+            args.events,
+            args.checkpoint,
+            stream_id=args.stream_id,
+            schema=schema,
+            max_files_per_trigger=args.max_files_per_trigger,
+            salt=args.salt,
+            compact_every=args.compact_every,
+        )
+        print(json.dumps(stats))
+    elif args.cmd == "compact":
+        t = LakeTable.load(spark, args.table)
+        print(json.dumps(t.compact(gc_before_seq=args.gc_before_seq)))
+    elif args.cmd == "generate":
+        paths = generate_change_stream(
+            spark,
+            args.out,
+            args.docs,
+            args.events,
+            n_chunks=args.chunks,
+            seed=args.seed,
+            hot_key_fraction=args.hot_key_fraction,
+            dup_fraction=args.dup_fraction,
+            shuffle_window=args.shuffle_window,
+        )
+        print(json.dumps({"chunks": paths}))
+    elif args.cmd == "show":
+        t = LakeTable.load(spark, args.table)
+        snap = t.snapshot
+        print(
+            json.dumps(
+                {
+                    "snapshot_id": snap.snapshot_id,
+                    "schema": [f.simpleString() for f in snap.schema.fields],
+                    "files": len(snap.files),
+                    "delta_files": t.delta_file_count(),
+                    "watermarks": snap.watermarks,
+                    "rows": t.read().count(),
+                }
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

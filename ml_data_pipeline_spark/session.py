@@ -36,9 +36,12 @@ def build_session(
     """
     cores = cores or default_parallelism()
     shuffle_partitions = shuffle_partitions or max(cores * 2, 8)
+    # On a real cluster set SPARK_MASTER_URL (or let spark-submit's
+    # --master win by passing it here); local[] is the sandbox default.
+    master = os.environ.get("SPARK_MASTER_URL", f"local[{cores}]")
     b = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         # AQE: runtime coalescing of small shuffle partitions and
