@@ -26,7 +26,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# Running as `spark-submit path/to/__main__.py` (or plain python) puts
+# the script's own directory on sys.path, not the package root — make
+# the package importable regardless of invocation style.
+_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 
 def _session(args):

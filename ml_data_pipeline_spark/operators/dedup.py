@@ -183,3 +183,67 @@ def minhash_lsh_candidates(
         .where(F.col("jaccard") >= threshold)
     )
     return ver.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+
+
+_HEX = "0123456789abcdef"
+SIMHASH_BITS = 8
+
+
+def _hex_byte(col):
+    """First md5 byte as int 0..255 via hex-digit arithmetic — avoids
+    engine-specific hex-parse functions so the DuckDB oracle can
+    reproduce it exactly (instr-based digit lookup works in both)."""
+    h = F.md5(col)
+    d1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    d2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    return d1 * 16 + d2
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash over distinct words (8 hyperplanes from md5 bits).
+
+    Classic near-dup sketch: per bit plane j, sum ±1 votes from each
+    word's hash bit; the sign becomes signature bit j. Documents with
+    small Hamming distance share most words. All integer arithmetic —
+    bit-identical across engines; at scale this is a single
+    explode+groupBy (no pairwise work).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array_distinct(_words())).alias("w")
+    )
+    v = _hex_byte(F.col("w"))
+    d = d.withColumn("v", v)
+    votes = [
+        F.sum(
+            (F.floor(F.col("v") / F.lit(2**j)) % 2) * 2 - 1
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = d.groupBy("doc_id").agg(*votes)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        bit = (F.col(f"s{j}") > 0).cast("int") * (2**j)
+        sig = bit if sig is None else sig + bit
+    return agg.select(
+        "doc_id", sig.cast("int").alias("simhash")
+    ).orderBy("doc_id")
+
+
+def simhash_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs: identical simhash (bucket join) —
+    the O(n) candidate generator; verify with exact Jaccard downstream."""
+    sig = simhash_signatures(spark, sf_dir)
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.simhash") == F.col("b.simhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("simhash"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -340,3 +340,117 @@ def union_intersect_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(un), int(inter))], "n_union bigint, n_intersect bigint"
     )
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over status × priority."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pagination (reference L1/L2 slicing semantics,
+    record_batch.rs:186-204, sink.rs:148-161): ORDER BY + OFFSET/LIMIT."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .offset(100)
+        .limit(25)
+    )
+
+
+def hash_sample_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (reference L3 sampling — but
+    hash-based instead of RNG so it is reproducible across engines and
+    cluster sizes; at 100 TB, rand() sampling is not replayable)."""
+    c = load_table(spark, sf_dir, "customer")
+    bucket = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1)
+    return (
+        c.where(bucket.isin("0", "1"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def backward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-fill (reference FillMethod::Backward,
+    timeseries.rs:173-184): next observed purchase value per user."""
+    e = load_table(spark, sf_dir, "events")
+    gapped = e.withColumn(
+        "v", F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return gapped.select(
+        "user_id",
+        "event_id",
+        F.first("v", ignorenulls=True).over(w).alias("bfilled_value"),
+    )
+
+
+def interpolate_linear_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across gaps (reference FillMethod::Linear,
+    timeseries.rs:173-184): value observed only on purchases; other
+    events get prev + (next-prev)·(t-pt)/(nt-pt) on the epoch-seconds
+    axis. Pure lag/lead window arithmetic — identical in both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    g = e.withColumn(
+        "v", F.when(F.col("event_type") == "purchase", F.col("value"))
+    ).withColumn(
+        # Integer microsecond axis: exact in both engines (a fractional
+        # epoch-seconds cast would differ in the last ulp).
+        "t",
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("double"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    g = g.select(
+        "user_id",
+        "event_id",
+        "t",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(F.when(g.v.isNotNull(), F.col("t")), ignorenulls=True)
+        .over(wp)
+        .alias("pt"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(F.when(g.v.isNotNull(), F.col("t")), ignorenulls=True)
+        .over(wn)
+        .alias("nt"),
+    )
+    interp = F.when(g.v.isNotNull(), g.v).otherwise(
+        F.when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("t") - F.col("pt"))
+            / (F.col("nt") - F.col("pt")),
+        ).otherwise(F.coalesce("pv", "nv"))
+    )
+    return g.select(
+        "user_id", "event_id", F.round(interp, 4).alias("interp_value")
+    )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ml_data_pipeline_spark.operators import (
     dedup,
+    encoding as ENC,
     multimodal,
     relational as R,
     similarity,
@@ -44,11 +45,23 @@ _QUERIES: dict[str, QueryFn] = {
     "distinct_users_per_type": R.distinct_users_per_type,
     "setop_active_not_building": R.setop_active_not_building,
     "union_intersect_counts": R.union_intersect_counts,
+    "cube_order_stats": R.cube_order_stats,
+    "limit_offset_page": R.limit_offset_page,
+    "hash_sample_customers": R.hash_sample_customers,
+    "backward_fill_values": R.backward_fill_values,
+    "interpolate_linear_values": R.interpolate_linear_values,
+    # source/sink/encoding parity
+    "csv_roundtrip_agg": ENC.csv_roundtrip_agg,
+    "text_line_scan": ENC.text_line_scan,
+    "dictionary_encode_sources": ENC.dictionary_encode_sources,
+    "string_ops": ENC.string_ops,
     # dedup
     "dedup_exact": dedup.dedup_exact,
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
     "minhash_signatures": dedup.minhash_signatures,
     "minhash_lsh_candidates": dedup.minhash_lsh_candidates,
+    "simhash_signatures": dedup.simhash_signatures,
+    "simhash_bucket_pairs": dedup.simhash_bucket_pairs,
     # similarity
     "ann_topk_cosine": similarity.ann_topk_cosine,
     "cosine_neardup_pairs": similarity.cosine_neardup_pairs,
@@ -74,7 +87,132 @@ _MINHASH_COLS = ", ".join(
     f"min(md5('{i}:' || s)) AS mh{i}" for i in range(dedup.N_HASHES)
 )
 
+# SimHash SQL fragments (match operators.dedup exactly: distinct
+# words, first md5 byte via instr hex-digit arithmetic, ±1 votes).
+_SH_V = (
+    "(instr('0123456789abcdef', substr(md5(w),1,1))-1)*16"
+    " + (instr('0123456789abcdef', substr(md5(w),2,1))-1)"
+)
+_SH_VOTES = ", ".join(
+    f"SUM((FLOOR(v/{2**j})::BIGINT % 2)*2 - 1) AS s{j}"
+    for j in range(dedup.SIMHASH_BITS)
+)
+_SH_SIG = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN 1 ELSE 0 END)*{2**j}"
+    for j in range(dedup.SIMHASH_BITS)
+)
+_SH_CTE = f"""
+        WITH words AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w
+            FROM documents),
+        vals AS (SELECT doc_id, {_SH_V} AS v FROM words),
+        votes AS (SELECT doc_id, {_SH_VOTES} FROM vals GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST({_SH_SIG} AS INTEGER) AS simhash FROM votes)
+"""
+
 _ORACLES: dict[str, str] = {
+    "cube_order_stats": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
+    "limit_offset_page": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_orderkey LIMIT 25 OFFSET 100
+    """,
+    "hash_sample_customers": """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_sampled,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM customer
+        WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0','1')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    "backward_fill_values": """
+        SELECT user_id, event_id,
+               FIRST_VALUE(v IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS bfilled_value
+        FROM (SELECT user_id, event_id, ts,
+                     CASE WHEN event_type = 'purchase' THEN value END AS v
+              FROM events)
+    """,
+    "interpolate_linear_values": """
+        WITH g AS (
+            SELECT user_id, event_id,
+                   CAST(epoch_us(ts) AS DOUBLE) AS t,
+                   CASE WHEN event_type = 'purchase' THEN value END AS v
+            FROM events),
+        w AS (
+            SELECT user_id, event_id, t, v,
+                   LAST_VALUE(v IGNORE NULLS) OVER
+                     (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                   LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+                     (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+                   FIRST_VALUE(v IGNORE NULLS) OVER
+                     (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                   FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+                     (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+            FROM g)
+        SELECT user_id, event_id,
+               ROUND(CASE WHEN v IS NOT NULL THEN v
+                          WHEN pv IS NOT NULL AND nv IS NOT NULL
+                            THEN pv + (nv - pv) * (t - pt) / (nt - pt)
+                          ELSE COALESCE(pv, nv) END, 4) AS interp_value
+        FROM w
+    """,
+    "csv_roundtrip_agg": """
+        SELECT event_type,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "text_line_scan": """
+        SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS line_number,
+               CAST(length(text) AS INTEGER) AS line_len
+        FROM documents
+        ORDER BY line_number
+    """,
+    "dictionary_encode_sources": """
+        WITH dict AS (
+            SELECT source,
+                   ROW_NUMBER() OVER (ORDER BY source) - 1 AS code
+            FROM (SELECT DISTINCT source FROM documents))
+        SELECT d.source, dict.code, COUNT(*) AS n_docs
+        FROM documents d JOIN dict ON d.source = dict.source
+        GROUP BY d.source, dict.code
+        ORDER BY dict.code
+    """,
+    "string_ops": """
+        SELECT doc_id,
+               substr(text, 1, 20) AS head20,
+               '[' || lang || '] ' || substr(text, 1, 10) AS tagged,
+               CAST(length(regexp_replace(text, 'data', '', 'g')) AS INTEGER)
+                   AS len_without_data,
+               reverse(substr(text, 1, 12)) AS rev12
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "simhash_signatures": _SH_CTE
+    + """
+        SELECT doc_id, simhash FROM sig ORDER BY doc_id
+    """,
+    "simhash_bucket_pairs": _SH_CTE
+    + """
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS simhash
+        FROM sig a JOIN sig b
+          ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,59 @@
+"""Physical-plan quality gates: pushdown, pruning, broadcast, codegen.
+
+The reference hand-implements predicate pushdown and zone-map skipping
+(parquet/predicates.rs); in Spark these are Catalyst's job — these
+tests pin that our query shapes actually trigger them (a regression
+here is a silent 100×-at-scale problem, not a correctness bug).
+"""
+
+from __future__ import annotations
+
+from ml_data_pipeline_spark.operators import dedup, relational as R
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _explain_formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    plan = _explain_formatted(R.filter_pushdown_agg(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    # both predicates reach the scan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "l_quantity" in plan.split("PushedFilters:")[1].split("\n")[0]
+    # column pruning: the scan reads only the needed columns
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_broadcast_join_used_for_dims(spark, sf_dir):
+    plan = _plan(R.join_dims_broadcast(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_partial_topk_not_global_sort(spark, sf_dir):
+    plan = _plan(R.q3_shipping_priority(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_queries_stay_jvm_side(spark, sf_dir):
+    # No Python evaluation nodes: dedup must not fall into row-wise UDFs
+    for fn in (dedup.dedup_exact, dedup.minhash_lsh_candidates,
+               dedup.simhash_signatures):
+        plan = _plan(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_latest_event_is_partial_aggregable(spark, sf_dir):
+    # the max(struct) reduction must show a partial_max before the
+    # exchange (map-side combine — the skew defense)
+    plan = _plan(R.latest_event_per_user(spark, sf_dir))
+    assert "partial_max" in plan

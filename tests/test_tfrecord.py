@@ -1,0 +1,69 @@
+"""TFRecord framing source tests (reference S8/C1 parity)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from ml_data_pipeline_spark.sources.tfrecord import (
+    CorruptRecord,
+    crc32c,
+    masked_crc,
+    parse_tfrecord_bytes,
+    read_tfrecords,
+    write_tfrecords,
+)
+
+
+def test_crc32c_known_vectors():
+    # RFC 3720 test vector: 32 bytes of zeros → 0x8a9136aa
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"123456789") == 0xE3069283
+
+
+def test_roundtrip_local(tmp_path):
+    payloads = [b"hello", b"", b"x" * 1000, bytes(range(256))]
+    p = str(tmp_path / "a.tfrecord")
+    write_tfrecords(p, payloads)
+    recs = parse_tfrecord_bytes(open(p, "rb").read(), p)
+    assert [r[3] for r in recs] == payloads
+    assert [r[2] for r in recs] == [len(x) for x in payloads]
+    # offsets point at payload start: 12B header before each
+    assert recs[0][1] == 12
+
+
+def test_corrupt_record_detected(tmp_path):
+    p = str(tmp_path / "bad.tfrecord")
+    write_tfrecords(p, [b"good payload"])
+    blob = bytearray(open(p, "rb").read())
+    blob[14] ^= 0xFF  # flip a payload byte
+    with pytest.raises(CorruptRecord):
+        parse_tfrecord_bytes(bytes(blob), p)
+    # truncated file
+    with pytest.raises(CorruptRecord):
+        parse_tfrecord_bytes(bytes(blob[:-2]), p)
+
+
+def test_distributed_read(spark, tmp_path):
+    for i in range(3):
+        write_tfrecords(
+            str(tmp_path / f"part-{i}.tfrecord"),
+            [f"doc-{i}-{j}".encode() for j in range(5)],
+        )
+    df = read_tfrecords(spark, str(tmp_path / "*.tfrecord"))
+    rows = df.collect()
+    assert len(rows) == 15
+    texts = sorted(bytes(r["data"]).decode() for r in rows)
+    assert texts[0] == "doc-0-0" and len(set(texts)) == 15
+    # length-prefix framing preserved
+    assert all(r["length"] == len(bytes(r["data"])) for r in rows)
+
+
+def test_mask_matches_reference_formula():
+    # mask(c) = rot15(c) + 0xa282ead8 (binary.rs:392-395)
+    for data in (b"abc", b"", b"\x01\x02"):
+        c = crc32c(data)
+        expected = (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+        assert masked_crc(data) == expected
+        assert struct.pack("<I", expected)  # fits u32
