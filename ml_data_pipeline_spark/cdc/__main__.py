@@ -74,6 +74,10 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--table", required=True)
     k.add_argument("--gc-before-seq", type=int, default=None)
 
+    v = sub.add_parser("vacuum")
+    v.add_argument("--table", required=True)
+    v.add_argument("--keep-snapshots", type=int, default=1)
+
     g = sub.add_parser("generate")
     g.add_argument("--out", required=True)
     g.add_argument("--docs", type=int, default=10000)
@@ -86,6 +90,8 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("show")
     s.add_argument("--table", required=True)
+    s.add_argument("--as-of", type=int, default=None,
+                   help="time-travel to a snapshot id")
 
     args = p.parse_args(argv)
     spark = _session(args)
@@ -124,6 +130,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "compact":
         t = LakeTable.load(spark, args.table)
         print(json.dumps(t.compact(gc_before_seq=args.gc_before_seq)))
+    elif args.cmd == "vacuum":
+        t = LakeTable.load(spark, args.table)
+        print(json.dumps(t.vacuum(keep_snapshots=args.keep_snapshots)))
     elif args.cmd == "generate":
         paths = generate_change_stream(
             spark,
@@ -139,16 +148,20 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"chunks": paths}))
     elif args.cmd == "show":
         t = LakeTable.load(spark, args.table)
-        snap = t.snapshot
+        snap = (
+            t.snapshot_by_id(args.as_of) if args.as_of is not None else t.snapshot
+        )
         print(
             json.dumps(
                 {
                     "snapshot_id": snap.snapshot_id,
                     "schema": [f.simpleString() for f in snap.schema.fields],
                     "files": len(snap.files),
-                    "delta_files": t.delta_file_count(),
+                    "delta_files": sum(
+                        1 for f_ in snap.files if f_.kind == "delta"
+                    ),
                     "watermarks": snap.watermarks,
-                    "rows": t.read().count(),
+                    "rows": t.read(as_of_snapshot=args.as_of).count(),
                 }
             )
         )

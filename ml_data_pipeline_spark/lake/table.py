@@ -320,15 +320,16 @@ class LakeTable:
         self,
         buckets: Iterable[int] | None = None,
         files: Sequence[FileEntry] | None = None,
+        snap: Snapshot | None = None,
     ) -> DataFrame:
         """Raw storage-schema rows from the selected snapshot files.
 
         Files are grouped by their written schema fingerprint; each
         group is read with its exact schema and cast/aligned to the
-        *current* storage schema (lazy schema evolution — old files are
-        never rewritten).
+        snapshot's *current* storage schema (lazy schema evolution —
+        old files are never rewritten).
         """
-        snap = self.snapshot
+        snap = snap or self.snapshot
         storage = snap.storage_schema()
         sel = list(snap.files if files is None else files)
         if buckets is not None:
@@ -379,19 +380,30 @@ class LakeTable:
             F.col(f"_p.{SEQ_COL}").alias(SEQ_COL),
         )
 
+    def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
+        path = os.path.join(self.meta_dir, f"snapshot-{snapshot_id}.json")
+        with open(path) as f:
+            return Snapshot.from_json(json.load(f))
+
     def read(
         self,
         include_hidden: bool = False,
         buckets: Iterable[int] | None = None,
+        as_of_snapshot: int | None = None,
     ) -> DataFrame:
-        """Current table state: reduce base+delta, drop tombstones.
+        """Table state: reduce base+delta, drop tombstones.
 
         Re-resolves the version pointer first, so a reader always sees
         the latest committed snapshot (snapshot isolation: the file
-        list is fixed once resolved).
+        list is fixed once resolved). ``as_of_snapshot`` time-travels
+        to an earlier committed snapshot (files are immutable; old
+        snapshots remain readable until ``vacuum`` expires them).
         """
-        snap = self.refresh()
-        raw = self.scan_files(buckets=buckets)
+        if as_of_snapshot is not None:
+            snap = self.snapshot_by_id(as_of_snapshot)
+        else:
+            snap = self.refresh()
+        raw = self.scan_files(buckets=buckets, snap=snap)
         # Buckets whose files are all base files and carry no deltas are
         # already reduced; only delta-bearing buckets need the groupBy.
         delta_buckets = {f.bucket for f in snap.files if f.kind == "delta"}
@@ -607,3 +619,48 @@ class LakeTable:
 
     def delta_file_count(self) -> int:
         return sum(1 for f in self.snapshot.files if f.kind == "delta")
+
+    # -------------------------------------------------------------- vacuum
+
+    def vacuum(self, keep_snapshots: int = 1) -> dict:
+        """Delete data files unreachable from the ``keep_snapshots``
+        most recent snapshots, and expire older snapshot metadata.
+
+        Compaction/merge never delete files (snapshot isolation +
+        time travel need them); vacuum is the explicit GC boundary —
+        after it, ``as_of_snapshot`` works only for kept snapshots.
+        """
+        current = self.refresh()
+        snaps = self.history()
+        kept = [
+            s
+            for s in snaps
+            if s.snapshot_id > current.snapshot_id - max(1, keep_snapshots)
+        ]
+        referenced = {
+            os.path.join(self.root, f.path) for s in kept for f in s.files
+        }
+        removed_files = 0
+        for dirpath, _dirs, files in os.walk(self.data_dir):
+            for name in files:
+                full = os.path.join(dirpath, name)
+                if name.endswith(".parquet") and full not in referenced:
+                    os.remove(full)
+                    removed_files += 1
+        # prune now-empty write directories
+        for dirpath, dirs, files in os.walk(self.data_dir, topdown=False):
+            if dirpath != self.data_dir and not dirs and not files:
+                os.rmdir(dirpath)
+        removed_snaps = 0
+        kept_ids = {s.snapshot_id for s in kept}
+        for s in snaps:
+            if s.snapshot_id not in kept_ids:
+                os.remove(
+                    os.path.join(self.meta_dir, f"snapshot-{s.snapshot_id}.json")
+                )
+                removed_snaps += 1
+        return {
+            "removed_files": removed_files,
+            "removed_snapshots": removed_snaps,
+            "kept_snapshots": sorted(kept_ids),
+        }

@@ -22,6 +22,7 @@ from ml_data_pipeline_spark.operators import (
     relational as R,
     similarity,
     text as TX,
+    timeseries as TS,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -50,6 +51,9 @@ _QUERIES: dict[str, QueryFn] = {
     "hash_sample_customers": R.hash_sample_customers,
     "backward_fill_values": R.backward_fill_values,
     "interpolate_linear_values": R.interpolate_linear_values,
+    # source/sink/encoding parity
+    "asof_last_purchase": TS.asof_last_purchase,
+    "pivot_event_type_counts": TS.pivot_event_type_counts,
     # source/sink/encoding parity
     "csv_roundtrip_agg": ENC.csv_roundtrip_agg,
     "text_line_scan": ENC.text_line_scan,
@@ -167,6 +171,26 @@ _ORACLES: dict[str, str] = {
                             THEN pv + (nv - pv) * (t - pt) / (nt - pt)
                           ELSE COALESCE(pv, nv) END, 4) AS interp_value
         FROM w
+    """,
+    "asof_last_purchase": """
+        SELECT e.user_id, e.event_id, p.purchase_value AS asof_purchase_value
+        FROM events e
+        ASOF LEFT JOIN (
+            SELECT user_id, ts, value AS purchase_value
+            FROM events WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+        ORDER BY e.user_id, e.event_id
+    """,
+    "pivot_event_type_counts": """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type='click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(SUM(CASE WHEN event_type='error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+               CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(SUM(CASE WHEN event_type='signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(SUM(CASE WHEN event_type='view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
     """,
     "csv_roundtrip_agg": """
         SELECT event_type,

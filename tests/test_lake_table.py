@@ -186,3 +186,24 @@ def test_lattice():
     )
     assert [f.name for f in m.fields] == ["a", "b"]
     assert isinstance(m["a"].dataType, T.LongType) and m["b"].nullable
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    t.merge_batch(_events(spark, E), batch_id=0)
+    snap1 = t.snapshot.snapshot_id
+    t.merge_batch(_events(spark, [(10, "U", "d1", [42], 1, "web", None)]), batch_id=1)
+    # time travel: snapshot 1 still shows the pre-update tokens
+    old = {r["doc_id"]: r for r in t.read(as_of_snapshot=snap1).collect()}
+    new = {r["doc_id"]: r for r in t.read().collect()}
+    assert old["d1"]["tokens"] == [7, 8, 9, 10]
+    assert new["d1"]["tokens"] == [42]
+    # compact then vacuum: old files gone, old snapshots expired,
+    # current state intact
+    t.compact()
+    res = t.vacuum(keep_snapshots=1)
+    assert res["removed_files"] > 0 and res["removed_snapshots"] > 0
+    after = {r["doc_id"]: r for r in t.read().collect()}
+    assert after == new
+    with pytest.raises(FileNotFoundError):
+        t.read(as_of_snapshot=snap1).collect()
