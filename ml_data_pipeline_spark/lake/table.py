@@ -438,6 +438,7 @@ class LakeTable:
         exclude_cols: Sequence[str] = ("ts", "chunk"),
         compact_touched: bool = False,
         salt: int | None = None,
+        quarantine: bool = True,
         summary_extra: dict | None = None,
     ) -> dict:
         """Apply one micro-batch of change events. Returns metrics dict.
@@ -467,6 +468,38 @@ class LakeTable:
         merged = merge_schemas(snap.schema, incoming)
         evolved = merged != snap.schema
         schema_after = merged if evolved else snap.schema
+
+        # --- bad-record quarantine (reference C1: corrupt-record
+        # detection, ml-data-readers/src/binary.rs:238-270) -------------
+        # Invalid events must not poison the table NOR abort the batch.
+        # The reason column is observed during the main write (no extra
+        # pass); the quarantine write itself runs only when any invalid
+        # rows actually exist.
+        obs = None
+        events_orig = events
+        if quarantine:
+            reason = (
+                F.when(F.col(snap.key_col).isNull(), "null_key")
+                .when(F.col(seq_col).isNull(), "null_seq")
+                .when(~F.col(op_col).isin("I", "U", "D"), "bad_op")
+            )
+            if "tokens" in events.columns and "n_tok" in events.columns:
+                reason = reason.when(
+                    (F.col(op_col) != "D")
+                    & F.col("tokens").isNotNull()
+                    & F.col("n_tok").isNotNull()
+                    & (F.col("n_tok") != F.size("tokens")),
+                    "n_tok_mismatch",
+                )
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            events = events_orig.withColumn("_reason", reason).observe(
+                obs,
+                F.count(F.lit(1)).alias("events_in"),
+                F.count("_reason").alias("events_invalid"),
+            )
+            events = events.where(F.col("_reason").isNull()).drop("_reason")
 
         # --- per-batch resolution (max-seq wins inside the batch) -------
         ev = events.withColumn(SEQ_COL, F.col(seq_col).cast("long")).withColumn(
@@ -554,6 +587,38 @@ class LakeTable:
             **(summary_extra or {}),
         }
         self._write_snapshot(new_snap)
+
+        # --- quarantine write (post-commit, advisory) --------------------
+        events_in = events_invalid = None
+        if obs is not None:
+            got = obs.get  # populated by the delta-write action above
+            events_in = int(got.get("events_in") or 0)
+            events_invalid = int(got.get("events_invalid") or 0)
+            if events_invalid > 0:
+                reason2 = (
+                    F.when(F.col(snap.key_col).isNull(), "null_key")
+                    .when(F.col(seq_col).isNull(), "null_seq")
+                    .when(~F.col(op_col).isin("I", "U", "D"), "bad_op")
+                )
+                if (
+                    "tokens" in events_orig.columns
+                    and "n_tok" in events_orig.columns
+                ):
+                    reason2 = reason2.when(
+                        (F.col(op_col) != "D")
+                        & F.col("tokens").isNotNull()
+                        & F.col("n_tok").isNotNull()
+                        & (F.col("n_tok") != F.size("tokens")),
+                        "n_tok_mismatch",
+                    )
+                (
+                    events_orig.withColumn("_reason", reason2)
+                    .where(F.col("_reason").isNotNull())
+                    .withColumn("_batch_id", F.lit(batch_id).cast("long"))
+                    .withColumn("_stream_id", F.lit(stream_id))
+                    .write.mode("append")
+                    .parquet(os.path.join(self.root, "quarantine"))
+                )
         return {
             "skipped": False,
             "stream_id": stream_id,
@@ -562,6 +627,8 @@ class LakeTable:
             "upsert_rows": n_rows,
             "touched_buckets": touched,
             "schema_evolved": evolved,
+            "events_in": events_in,
+            "events_invalid": events_invalid,
         }
 
     # ------------------------------------------------------------- compact

@@ -130,3 +130,62 @@ def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+IVF_DIMS = 4  # sign-quantized dims → 16 coarse cells
+IVF_QUERIES = [0, 1, 2, 3, 4]
+
+
+def _ivf_cell(emb):
+    """Coarse quantizer: sign pattern of the first IVF_DIMS components.
+    Deterministic, engine-portable (same arithmetic in the oracle)."""
+    cell = F.lit(0)
+    for i in range(IVF_DIMS):
+        cell = cell + (emb[i] > 0).cast("int") * (2**i)
+    return cell
+
+
+def ivf_ann_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """IVF-style ANN: search only the query's coarse cell.
+
+    The scale path for similarity search (brute force is O(n·q)): a
+    cheap quantizer partitions vectors into cells; each query probes
+    its own cell only. Here the quantizer is the sign pattern of the
+    first 4 dims (16 cells) — in production you'd train centroids, but
+    the Spark shape (cell column → co-partitioned join → per-query
+    top-k) is identical, and this one is oracle-reproducible.
+    """
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "cell", _ivf_cell(F.col("embedding"))
+    )
+    q = e.where(F.col("vec_id").isin(IVF_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("q_cell"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "cell",
+    )
+    from pyspark.sql.window import Window
+
+    joined = (
+        cand.join(F.broadcast(q), F.col("cell") == F.col("q_cell"))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("c_emb"), F.col("q_emb")), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -68,6 +68,7 @@ _QUERIES: dict[str, QueryFn] = {
     "simhash_bucket_pairs": dedup.simhash_bucket_pairs,
     # similarity
     "ann_topk_cosine": similarity.ann_topk_cosine,
+    "ivf_ann_topk": similarity.ivf_ann_topk,
     "cosine_neardup_pairs": similarity.cosine_neardup_pairs,
     "vector_norm_stats": similarity.vector_norm_stats,
     # text
@@ -465,6 +466,34 @@ _ORACLES: dict[str, str] = {
         WHERE vec_id != 0
         ORDER BY cosine DESC, neighbor_id ASC
         LIMIT 10
+    """,
+    "ivf_ann_topk": """
+        WITH cells AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                 + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                 + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS cell
+            FROM embeddings),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND(
+                     list_sum(list_transform(list_zip(c.embedding, q.embedding),
+                              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+                     (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                      sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                     4) AS cosine
+            FROM cells q JOIN cells c
+              ON q.cell = c.cell AND c.vec_id != q.vec_id
+            WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id ASC)
+                          AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3
+        ORDER BY query_id, rank
     """,
     "cosine_neardup_pairs": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

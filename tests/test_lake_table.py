@@ -207,3 +207,30 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     assert after == new
     with pytest.raises(FileNotFoundError):
         t.read(as_of_snapshot=snap1).collect()
+
+
+def test_quarantine_bad_records(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    bad = [
+        (100, "I", "ok1", [1, 2], 2, "web", None),
+        (101, "X", "badop", [1], 1, "web", None),        # bad op
+        (102, "I", None, [1], 1, "web", None),           # null key
+        (103, "I", "mismatch", [1, 2, 3], 99, "web", None),  # n_tok wrong
+        (104, "I", "ok2", [5], 1, "web", None),
+    ]
+    loose = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in CHANGE_SCHEMA.fields]
+    )
+    res = t.merge_batch(spark.createDataFrame(bad, loose), batch_id=0)
+    assert res["events_in"] == 5 and res["events_invalid"] == 3
+    live = {r["doc_id"] for r in t.read().collect()}
+    assert live == {"ok1", "ok2"}
+    q = spark.read.parquet(str(tmp_path / "tbl" / "quarantine"))
+    reasons = {r["_reason"] for r in q.collect()}
+    assert reasons == {"bad_op", "null_key", "n_tok_mismatch"}
+    assert q.count() == 3
+    # clean batch: no quarantine write, counters still observed
+    res2 = t.merge_batch(
+        _events(spark, [(200, "U", "ok1", [9], 1, "web", None)]), batch_id=1
+    )
+    assert res2["events_in"] == 1 and res2["events_invalid"] == 0
