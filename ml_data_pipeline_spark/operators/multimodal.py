@@ -53,8 +53,81 @@ def decode_image_stub(payload: bytes) -> "object":
     raise NotImplementedError(
         "image decode requires an image codec library (not bundled); "
         "payload plumbing (binary column, Arrow batching) is exercised "
-        "by binary_payload_features"
+        "by binary_payload_features / decode_resize_pipeline"
     )
+
+
+def decode_image_fake(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic FAKE decoder (container has no image libs): derives
+    (height, width, 4-bin 'pixel histogram') purely from the payload
+    bytes. Stands in for a real codec so the full decode → resize →
+    feature pipeline plumbing (schemas, batching, partitioning) runs
+    and is testable. Swap for a real codec in production."""
+    import hashlib
+
+    h = hashlib.md5(payload).digest()
+    height = 8 + h[0] % 56
+    width = 8 + h[1] % 56
+    hist = [round(b / 255.0, 6) for b in h[2:6]]
+    return height, width, hist
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("resized_h", T.IntegerType()),
+        T.StructField("resized_w", T.IntegerType()),
+        T.StructField("hist", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_resize_pipeline(
+    spark: SparkSession, sf_dir: str, target: int = 32
+) -> DataFrame:
+    """Full multimodal pipeline shape: binary payload → decode (fake) →
+    aspect-preserving resize metadata → per-image features, as one
+    Arrow-batched mapInPandas pass (reference: image reader's
+    lazy/eager modes + resize preprocessing, image.rs:93-132,160-500).
+
+    Scale: one Python pass per partition, no driver involvement; the
+    binary column never leaves the executor.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h, w, hist = decode_image_fake(bytes(payload))
+                scale = target / max(h, w)
+                rows.append(
+                    (
+                        doc_id,
+                        h,
+                        w,
+                        max(1, round(h * scale)),
+                        max(1, round(w * scale)),
+                        hist,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "height",
+                    "width",
+                    "resized_h",
+                    "resized_w",
+                    "hist",
+                ],
+            )
+
+    return d.mapInPandas(run, DECODED_SCHEMA).orderBy("doc_id")
 
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -33,6 +33,7 @@ _QUERIES: dict[str, QueryFn] = {
     "filter_pushdown_agg": R.filter_pushdown_agg,
     "q3_shipping_priority": R.q3_shipping_priority,
     "join_dims_broadcast": R.join_dims_broadcast,
+    "q5_local_supplier_volume": R.q5_local_supplier_volume,
     "anti_join_customers_without_orders": R.anti_join_customers_without_orders,
     "semi_join_parts_shipped": R.semi_join_parts_shipped,
     "topk_orders_per_customer": R.topk_orders_per_customer,
@@ -282,6 +283,23 @@ _ORACLES: dict[str, str] = {
         JOIN region   ON n_regionkey = r_regionkey
         GROUP BY r_name
         ORDER BY r_name
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name ASC
     """,
     "anti_join_customers_without_orders": """
         SELECT c_mktsegment, COUNT(*) AS n_customers

@@ -1,0 +1,122 @@
+"""Custom stateful streaming operator: per-key running latest state.
+
+`applyInPandasWithState` is Spark's arbitrary-stateful-processing
+primitive (the analog of the reference's long-lived Transform with
+internal state — the extension point noted at SURVEY.md §2.10). Here
+it maintains the running max-seq winner per doc_id *inside the
+stream* — an alternative to the foreachBatch+MERGE sink when the
+consumer wants a live changelog of current winners rather than a
+table: each micro-batch emits one row per doc_id whose winner changed.
+
+Semantics match the lake table's: max-seq wins, deletes tombstone
+(emitted with op='D'). State per key is O(1) (seq + tokens of the
+current winner), so total state is bounded by live keys — the
+streaming-state sizing question at 10^9 keys is RocksDB state store
+territory, and the per-key O(1) invariant is what makes it viable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+from ml_data_pipeline_spark.cdc.events import CHANGE_SCHEMA
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("n_tok", T.IntegerType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+        T.StructField("n_tok", T.IntegerType()),
+    ]
+)
+
+
+def _update(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (doc_id,) = key
+    best_seq, deleted, n_tok = (
+        state.get if state.exists else (-1, False, None)
+    )
+    changed = False
+    for pdf in pdfs:
+        for seq, op, nt in zip(pdf["seq"], pdf["op"], pdf["n_tok"]):
+            if seq > best_seq:
+                best_seq = int(seq)
+                deleted = op == "D"
+                n_tok = None if deleted else (None if pd.isna(nt) else int(nt))
+                changed = True
+    if changed:
+        state.update((best_seq, deleted, n_tok))
+        yield pd.DataFrame(
+            {
+                "doc_id": [doc_id],
+                "seq": [best_seq],
+                "op": ["D" if deleted else "U"],
+                "n_tok": [n_tok],
+            }
+        )
+
+
+def running_latest_stream(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    schema=None,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    src = (
+        spark.readStream.schema(schema or CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(events_dir)
+    )
+    return src.groupBy("doc_id").applyInPandasWithState(
+        _update,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_running_latest(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    *,
+    sink_table: str = "running_latest",
+    timeout_sec: float = 300.0,
+) -> DataFrame:
+    """Replay through the stateful operator into a memory sink; the
+    LAST emission per doc_id is its final state."""
+    q = (
+        running_latest_stream(spark, events_dir)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(sink_table)

@@ -1,0 +1,63 @@
+"""Multimodal binary-column plumbing tests (stubbed codec, real Spark)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from ml_data_pipeline_spark.operators.multimodal import (
+    binary_payload_features,
+    decode_image_fake,
+    decode_image_stub,
+    decode_resize_pipeline,
+)
+
+
+def test_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x89PNG....")
+
+
+def test_fake_decoder_deterministic():
+    a = decode_image_fake(b"hello")
+    assert a == decode_image_fake(b"hello")
+    assert a != decode_image_fake(b"world")
+    h, w, hist = a
+    assert 8 <= h < 64 and 8 <= w < 64 and len(hist) == 4
+
+
+def test_decode_resize_pipeline(spark, sf_dir):
+    out = decode_resize_pipeline(spark, sf_dir, target=32).collect()
+    assert len(out) > 0
+    for r in out[:20]:
+        assert max(r["resized_h"], r["resized_w"]) == 32
+        assert len(r["hist"]) == 4
+    # spot-check one row against a driver-side decode of the same bytes
+    from ml_data_pipeline_spark.sources.tables import load_table
+
+    row0 = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id = 0")
+        .collect()[0]
+    )
+    h, w, hist = decode_image_fake(row0["text"].encode())
+    got = next(r for r in out if r["doc_id"] == 0)
+    assert (got["height"], got["width"]) == (h, w)
+    assert got["hist"] == hist
+
+
+def test_payload_digest_matches_hashlib(spark, sf_dir):
+    rows = binary_payload_features(spark, sf_dir).limit(5).collect()
+    from ml_data_pipeline_spark.sources.tables import load_table
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").limit(50).collect()
+    }
+    for r in rows:
+        if r["doc_id"] in texts:
+            raw = texts[r["doc_id"]].encode()
+            assert r["digest"] == hashlib.md5(raw).hexdigest()
+            assert r["n_bytes"] == len(raw)
+            assert r["sniffed_format"] == "raw"
