@@ -47,7 +47,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
     return (
-        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
@@ -68,8 +68,8 @@ def filter_pushdown_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.where(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
             & (F.col("l_quantity") < 25)
         )
         .select("l_quantity", "l_extendedprice")
@@ -94,10 +94,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING"
     )
     o = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
     )
     l = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp_ntz")
     )
     rev = _dec("l_extendedprice") * (
         F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
@@ -413,10 +413,13 @@ def interpolate_linear_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = e.withColumn(
         "v", F.when(F.col("event_type") == "purchase", F.col("value"))
     ).withColumn(
-        # Integer microsecond axis: exact in both engines (a fractional
-        # epoch-seconds cast would differ in the last ulp).
+        # Integer microsecond axis, timezone-free: timestampdiff on the
+        # naive timestamp itself, so the result is independent of the
+        # session timezone (unix_micros would shift by the session tz).
         "t",
-        F.unix_micros(F.col("ts").cast("timestamp")).cast("double"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        ).cast("double"),
     )
     wp = (
         Window.partitionBy("user_id")
@@ -470,8 +473,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
     )
     l = load_table(spark, sf_dir, "lineitem")
     rev = _dec("l_extendedprice") * (

@@ -149,7 +149,7 @@ _ORACLES: dict[str, str] = {
     "interpolate_linear_values": """
         WITH g AS (
             SELECT user_id, event_id,
-                   CAST(epoch_us(ts) AS DOUBLE) AS t,
+                   CAST(date_diff('microsecond', TIMESTAMP '2024-01-01', ts) AS DOUBLE) AS t,
                    CASE WHEN event_type = 'purchase' THEN value END AS v
             FROM events),
         w AS (
