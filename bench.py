@@ -118,7 +118,9 @@ def main() -> None:
     reps = int(os.environ.get("BENCH_CDC_REPS", "4"))
     try:
         r_n = bench_cdc_at(SCALE_N, events_dir, n_dup, reps=reps)
-        r_4n = bench_cdc_at(SCALE_N * 4, events_dir, n_dup, reps=reps)
+        # The 4N JVM warms slower (4× compilation/GC adaptation) and its
+        # reps are ~4× cheaper — give it two extra to reach steady state.
+        r_4n = bench_cdc_at(SCALE_N * 4, events_dir, n_dup, reps=reps + 2)
     finally:
         shutil.rmtree(events_dir, ignore_errors=True)
     tp_n, tp_4n = r_n["events_per_sec"], r_4n["events_per_sec"]

@@ -129,15 +129,9 @@ def _record(table: LakeTable, res: dict) -> None:
 
     if res.get("skipped"):
         return
-    snap = table.snapshot
-    # Files created by this commit = present now, absent in the parent.
-    parent_paths = set()
-    if snap.parent_id is not None:
-        for s in table.history():
-            if s.snapshot_id == snap.parent_id:
-                parent_paths = {f.path for f in s.files}
-                break
-    created = [f for f in snap.files if f.path not in parent_paths]
+    # Files created by this commit, reported by the merge itself (no
+    # snapshot-history scan — that would be O(batches) per batch).
+    created = res.get("new_files") or []
     lrows = []
     inputs = res.get("input_files") or [None]
     for f in created:
@@ -148,9 +142,9 @@ def _record(table: LakeTable, res: dict) -> None:
                     res.get("batch_id"),
                     res.get("snapshot_id"),
                     inp,
-                    f.bucket,
-                    f.path,
-                    f.rows,
+                    f["bucket"],
+                    f["path"],
+                    f["rows"],
                 )
             )
     if lrows:

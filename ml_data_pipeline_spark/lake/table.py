@@ -587,6 +587,7 @@ class LakeTable:
             **(summary_extra or {}),
         }
         self._write_snapshot(new_snap)
+        parent_paths = {p.path for p in snap.files}
 
         # --- quarantine write (post-commit, advisory) --------------------
         events_in = events_invalid = None
@@ -629,6 +630,11 @@ class LakeTable:
             "schema_evolved": evolved,
             "events_in": events_in,
             "events_invalid": events_invalid,
+            # files created by this commit (compaction may have folded
+            # the deltas into base files already — report what survived)
+            "new_files": [
+                f.to_json() for f in new_snap.files if f.path not in parent_paths
+            ],
         }
 
     # ------------------------------------------------------------- compact
