@@ -64,19 +64,25 @@ def apply_batch(
     salt: int | None = None,
     compact_touched: bool = False,
     write_metrics: bool = True,
+    collect_input_lineage: bool = False,
 ) -> dict:
     """Apply one micro-batch of change events; record metrics + lineage.
 
     Idempotent: a replayed ``batch_id`` (streaming restart re-delivers
     the last uncommitted batch) is skipped via the snapshot's per-stream
     watermark, so the sink is exactly-once end-to-end.
+
+    ``collect_input_lineage`` opts into the fallback that recovers
+    input file names with an extra ``input_file_name()`` scan when the
+    metadata-only ``inputFiles()`` call comes back empty (foreachBatch
+    DataFrames often report none). It is OFF by default because that
+    fallback re-reads the whole micro-batch input — roughly doubling
+    input IO per batch — for advisory lineage rows only.
     """
     t0 = time.monotonic()
     try:
         input_files = list(batch_df.inputFiles())
-        if not input_files and write_metrics:
-            # foreachBatch DataFrames often report no inputFiles();
-            # recover lineage from the scan itself (cheap: one column).
+        if not input_files and write_metrics and collect_input_lineage:
             input_files = [
                 r[0]
                 for r in batch_df.select(F.input_file_name()).distinct().collect()

@@ -34,7 +34,9 @@ def run_replay(
     max_files_per_trigger: int = 4,
     salt: int | None = None,
     compact_every: int | None = None,
+    compaction_policy=None,
     write_metrics: bool = True,
+    collect_input_lineage: bool = False,
     stop_after_batches: int | None = None,
     timeout_sec: float = 600.0,
 ) -> dict:
@@ -43,11 +45,18 @@ def run_replay(
     ``stop_after_batches`` kills the query mid-replay (the
     kill-and-resume test hook); rerunning with the same checkpoint
     resumes and converges to the same final state.
-    Returns {"batches": n_applied, "skipped": n_skipped}.
+    ``compaction_policy`` (see lake.compaction.SizeTieredPolicy)
+    supersedes the blunt ``compact_every`` file-count heuristic: after
+    each applied batch it selects the buckets whose delta tier warrants
+    folding, and only those buckets are compacted.
+    Returns {"batches": n_applied, "skipped": n_skipped,
+    "compactions": n_compaction_commits}. Raises ``TimeoutError`` if
+    the replay does not terminate within ``timeout_sec`` (a hung query
+    must not masquerade as a completed one).
     """
     schema = schema or CHANGE_SCHEMA
     table = LakeTable.load(spark, table_root)
-    stats = {"batches": 0, "skipped": 0}
+    stats = {"batches": 0, "skipped": 0, "compactions": 0}
 
     def handle(batch_df, batch_id: int):
         res = apply_batch(
@@ -57,13 +66,20 @@ def run_replay(
             stream_id=stream_id,
             salt=salt,
             write_metrics=write_metrics,
+            collect_input_lineage=collect_input_lineage,
         )
         if res.get("skipped"):
             stats["skipped"] += 1
         else:
             stats["batches"] += 1
-            if compact_every and table.delta_file_count() >= compact_every:
+            if compaction_policy is not None:
+                victims = compaction_policy.select_buckets(table.snapshot)
+                if victims:
+                    table.compact(buckets=victims)
+                    stats["compactions"] += 1
+            elif compact_every and table.delta_file_count() >= compact_every:
                 table.compact()
+                stats["compactions"] += 1
         if (
             stop_after_batches is not None
             and stats["batches"] >= stop_after_batches
@@ -84,8 +100,13 @@ def run_replay(
         .trigger(availableNow=True)
         .start()
     )
+    timed_out = False
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        # awaitTermination(timeout) returns False on timeout WITHOUT
+        # raising — a hung replay must not return partial stats that
+        # look like a completed one.
+        timed_out = not finished
     except Exception as e:  # noqa: BLE001 — surface real failures
         if not _is_stop(e):
             raise
@@ -93,6 +114,11 @@ def run_replay(
         if q.isActive:
             q.stop()
             q.awaitTermination(30)
+    if timed_out:
+        raise TimeoutError(
+            f"CDC replay did not terminate within {timeout_sec}s "
+            f"(applied {stats['batches']} batches before the timeout)"
+        )
     return stats
 
 

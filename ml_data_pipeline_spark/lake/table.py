@@ -75,6 +75,7 @@ class FileEntry:
     kind: str  # "base" | "delta"
     rows: int
     schema_fp: str  # fingerprint key into Snapshot.schemas
+    bytes: int = 0  # on-disk size (drives size-tiered compaction)
 
     def to_json(self) -> dict:
         return {
@@ -83,11 +84,19 @@ class FileEntry:
             "kind": self.kind,
             "rows": self.rows,
             "schema_fp": self.schema_fp,
+            "bytes": self.bytes,
         }
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
-        return FileEntry(d["path"], d["bucket"], d["kind"], d["rows"], d["schema_fp"])
+        return FileEntry(
+            d["path"],
+            d["bucket"],
+            d["kind"],
+            d["rows"],
+            d["schema_fp"],
+            d.get("bytes", 0),
+        )
 
 
 @dataclass
@@ -101,6 +110,12 @@ class Snapshot:
     schemas: dict[str, dict] = field(default_factory=dict)  # fp -> storage schema json
     watermarks: dict[str, int] = field(default_factory=dict)  # stream_id -> batch_id
     summary: dict = field(default_factory=dict)
+    # Table properties: parquet writer knobs applied to every data-file
+    # write — e.g. "parquet.block.size" (row-group size),
+    # "parquet.bloom.filter.enabled#<col>", "parquet.enable.dictionary"
+    # (reference analog: the parquet writer's properties,
+    # ml-data-readers/src/parquet/writer.rs:37-56).
+    properties: dict = field(default_factory=dict)
 
     @property
     def schema(self) -> T.StructType:
@@ -126,6 +141,7 @@ class Snapshot:
             "schemas": self.schemas,
             "watermarks": self.watermarks,
             "summary": self.summary,
+            "properties": self.properties,
         }
 
     @staticmethod
@@ -140,6 +156,7 @@ class Snapshot:
             schemas=d.get("schemas", {}),
             watermarks=d.get("watermarks", {}),
             summary=d.get("summary", {}),
+            properties=d.get("properties", {}),
         )
 
 
@@ -181,6 +198,7 @@ class LakeTable:
         schema: T.StructType,
         key_col: str,
         n_buckets: int = 16,
+        properties: dict | None = None,
     ) -> "LakeTable":
         if cls.exists(root):
             raise ValueError(f"table already exists at {root}")
@@ -195,6 +213,7 @@ class LakeTable:
             schema_json=schema.jsonValue(),
             key_col=key_col,
             n_buckets=n_buckets,
+            properties=dict(properties or {}),
         )
         t._write_snapshot(snap)
         return t
@@ -256,31 +275,40 @@ class LakeTable:
 
     # ---------------------------------------------------------------- write
 
-    def bucket_expr(self, key=None):
-        key = F.col(self.key_col) if key is None else key
-        return F.pmod(F.xxhash64(key), F.lit(self.snapshot.n_buckets)).cast("int")
+    def bucket_expr(self, key=None, snap: Snapshot | None = None):
+        snap = snap or self.snapshot
+        key = F.col(snap.key_col) if key is None else key
+        return F.pmod(F.xxhash64(key), F.lit(snap.n_buckets)).cast("int")
 
-    def _write_files(self, df: DataFrame, kind: str) -> list[FileEntry]:
+    def _write_files(
+        self, df: DataFrame, kind: str, snap: Snapshot | None = None
+    ) -> list[FileEntry]:
         """Write rows (storage schema) as bucket-partitioned parquet files.
 
         The bucket is recomputable from the key, so it is stored only in
-        metadata (directory name), not as a data column.
+        metadata (directory name), not as a data column. ``snap`` is the
+        (possibly uncommitted, in-flight) snapshot whose schema and
+        properties govern the write — passed explicitly so a failed
+        write never leaves ``self._snapshot`` pointing at phantom state.
         """
-        storage = self.snapshot.storage_schema()
+        snap = snap or self.snapshot
+        storage = snap.storage_schema()
         df = df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in storage.fields]
         )
         fp = _schema_fp(storage)
         write_id = uuid.uuid4().hex
         out_dir = os.path.join(self.data_dir, write_id)
-        (
-            df.withColumn("_bucket", self.bucket_expr())
+        writer = (
+            df.withColumn("_bucket", self.bucket_expr(snap=snap))
             # One shuffle, hash-partitioned by bucket → ~one file per
             # bucket per write; AQE coalesces near-empty partitions.
             .repartition(F.col("_bucket"))
             .write.partitionBy("_bucket")
-            .parquet(out_dir)
         )
+        for k, v in snap.properties.items():
+            writer = writer.option(k, v)
+        writer.parquet(out_dir)
         found: list[tuple[str, int]] = []
         for dirpath, _dirs, files in os.walk(out_dir):
             base = os.path.basename(dirpath)
@@ -310,6 +338,7 @@ class LakeTable:
                 kind=kind,
                 rows=r,
                 schema_fp=fp,
+                bytes=os.path.getsize(p),
             )
             for (p, b), r in zip(found, counts)
         ]
@@ -410,7 +439,7 @@ class LakeTable:
         if buckets is not None:
             delta_buckets &= set(buckets)
         if delta_buckets:
-            bexpr = self.bucket_expr()
+            bexpr = self.bucket_expr(snap=snap)
             need = raw.where(bexpr.isin([int(b) for b in delta_buckets]))
             done = raw.where(~bexpr.isin([int(b) for b in delta_buckets]))
             reduced = self._reduce_latest(need, snap.key_col).unionByName(done)
@@ -481,6 +510,10 @@ class LakeTable:
             reason = (
                 F.when(F.col(snap.key_col).isNull(), "null_key")
                 .when(F.col(seq_col).isNull(), "null_seq")
+                # NULL op must be its own branch: ~isin(...) is NULL
+                # (not true) for NULL, which would let the row through
+                # with _deleted=NULL and silently vanish from reads.
+                .when(F.col(op_col).isNull(), "null_op")
                 .when(~F.col(op_col).isin("I", "U", "D"), "bad_op")
             )
             if "tokens" in events.columns and "n_tok" in events.columns:
@@ -550,6 +583,10 @@ class LakeTable:
             resolved = self._reduce_latest(ev, snap.key_col)
 
         # --- evolve schema on the in-flight snapshot ---------------------
+        # NOTE: self._snapshot is NOT touched until _write_snapshot's
+        # atomic pointer swap succeeds — if the delta write, compaction,
+        # or snapshot write fails, the in-memory table still points at
+        # the last committed snapshot and a retry builds on real state.
         new_snap = Snapshot(
             snapshot_id=snap.snapshot_id + 1,
             parent_id=snap.snapshot_id,
@@ -559,13 +596,13 @@ class LakeTable:
             files=list(snap.files),
             schemas=dict(snap.schemas),
             watermarks=dict(snap.watermarks),
+            properties=dict(snap.properties),
         )
-        self._snapshot = new_snap  # _write_files uses current storage schema
 
         # --- append delta files ------------------------------------------
         # Single action: resolved flows straight into the delta write
         # (no cache — nothing re-reads the logical plan).
-        new_files = self._write_files(resolved, kind="delta")
+        new_files = self._write_files(resolved, kind="delta", snap=new_snap)
         n_rows = sum(f.rows for f in new_files)
         touched = sorted({f.bucket for f in new_files})
         fp = _schema_fp(new_snap.storage_schema())
@@ -599,6 +636,7 @@ class LakeTable:
                 reason2 = (
                     F.when(F.col(snap.key_col).isNull(), "null_key")
                     .when(F.col(seq_col).isNull(), "null_seq")
+                    .when(F.col(op_col).isNull(), "null_op")
                     .when(~F.col(op_col).isin("I", "U", "D"), "bad_op")
                 )
                 if (
@@ -653,13 +691,13 @@ class LakeTable:
         victims = [f for f in snap.files if f.bucket in bset]
         if not victims:
             return
-        raw = self.scan_files(files=victims)
+        raw = self.scan_files(files=victims, snap=snap)
         reduced = self._reduce_latest(raw, snap.key_col)
         if gc_before_seq is not None:
             reduced = reduced.where(
                 (~F.col(DELETED_COL)) | (F.col(SEQ_COL) >= F.lit(gc_before_seq))
             )
-        new_files = self._write_files(reduced, kind="base")
+        new_files = self._write_files(reduced, kind="base", snap=snap)
         fp = _schema_fp(snap.storage_schema())
         snap.schemas[fp] = snap.storage_schema().jsonValue()
         keep = [f for f in snap.files if f.bucket not in bset]
@@ -683,8 +721,8 @@ class LakeTable:
             files=list(snap.files),
             schemas=dict(snap.schemas),
             watermarks=dict(snap.watermarks),
+            properties=dict(snap.properties),
         )
-        self._snapshot = new_snap
         self._compact_into(new_snap, list(buckets), gc_before_seq)
         new_snap.summary = {"operation": "compact", "buckets": list(map(int, buckets))}
         self._write_snapshot(new_snap)

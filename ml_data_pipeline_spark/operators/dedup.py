@@ -64,49 +64,71 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.2
-) -> DataFrame:
-    """Near-duplicate pairs by exact 3-shingle Jaccard similarity.
+MAX_SHINGLE_DF = 50  # stop-shingle cutoff (document frequency)
 
-    Candidate generation: explode distinct shingles, self-join on the
-    shingle, count overlap per pair; J = |A∩B| / (|A|+|B|-|A∩B|).
+
+def ngram_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.2,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Near-duplicate pairs by exact 3-shingle Jaccard similarity,
+    candidate-generated through *bounded* shingles only.
+
+    Candidate generation self-joins exploded shingles — but only
+    shingles with document frequency in [2, ``max_df``]: df=1 shingles
+    cannot form a pair (pure shuffle waste), and ultra-common
+    stop-shingles (df > ``max_df``) are dropped BEFORE the join, so the
+    hottest shingle key contributes at most max_df² pair rows instead
+    of dominating the shuffle — the bound that keeps this join feasible
+    at 10^9 documents. Verification then computes the EXACT Jaccard
+    over the full (unfiltered) shingle sets of each candidate pair, so
+    the cutoff affects only recall (a pair is missed only if *every*
+    shingle it shares is ultra-common), never reported values.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", _shingles().alias("sh")
     )
-    sizes = d.select("doc_id", F.size("sh").alias("n_sh"))
     ex = d.select("doc_id", F.explode("sh").alias("s"))
-    a, b = ex.alias("a"), ex.alias("b")
-    overlap = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
+    # Per-shingle document frequency (map-side combinable groupBy);
+    # keep only pair-capable, non-stop shingles.
+    bounded = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("s")
+    )
+    exf = ex.join(bounded, "s")
+    a, b = exf.alias("a"), exf.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .distinct()
     )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
-    )
-    j = (
-        overlap.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                4,
-            ),
+    # Exact verification on the FULL shingle arrays.
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = F.round(n_common / F.size(F.array_union("sh_a", "sh_b")), 4)
+    ver = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.cast("long").alias("n_common"),
+            jac.alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return j.select("doc_a", "doc_b", "n_common", "jaccard").orderBy(
-        "doc_a", "doc_b"
-    )
+    return ver.orderBy("doc_a", "doc_b")
 
 
 def _minhash_cols():
@@ -186,64 +208,93 @@ def minhash_lsh_candidates(
 
 
 _HEX = "0123456789abcdef"
-SIMHASH_BITS = 8
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16-bit band keys
 
 
-def _hex_byte(col):
-    """First md5 byte as int 0..255 via hex-digit arithmetic — avoids
-    engine-specific hex-parse functions so the DuckDB oracle can
-    reproduce it exactly (instr-based digit lookup works in both)."""
-    h = F.md5(col)
-    d1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
-    d2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
-    return d1 * 16 + d2
+def _md5_digit(h, k: int):
+    """k-th hex digit (0-based) of an md5 string column as int 0..15,
+    via instr digit lookup — avoids engine-specific hex-parse functions
+    so the DuckDB oracle reproduces it exactly."""
+    return F.instr(F.lit(_HEX), F.substring(h, k + 1, 1)) - 1
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash over distinct words (8 hyperplanes from md5 bits).
+    """64-bit SimHash over distinct words (hyperplanes = md5 bits).
 
-    Classic near-dup sketch: per bit plane j, sum ±1 votes from each
-    word's hash bit; the sign becomes signature bit j. Documents with
-    small Hamming distance share most words. All integer arithmetic —
-    bit-identical across engines; at scale this is a single
-    explode+groupBy (no pairwise work).
+    Per bit plane j, sum ±1 votes from bit j of each word's 64-bit
+    hash (first 16 hex digits of md5); the vote's sign becomes
+    signature bit j. Near-duplicate documents share most words →
+    small Hamming distance. Output: the signature as 4 × 16-bit band
+    values (band m = bits 16m..16m+15) — the exact keys the banded
+    Hamming LSH joins on. All integer arithmetic, bit-identical across
+    engines; at scale this is one explode+groupBy (64 partially-
+    aggregable sums), no pairwise work.
+
+    8 bits (round 1) gave only 256 buckets → an ~n²/256 bucket join;
+    64 bits banded into 4×16 gives 65 536 buckets per band with
+    candidates = pairs agreeing on ≥1 whole band (Hamming-LSH).
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.array_distinct(_words())).alias("w")
     )
-    v = _hex_byte(F.col("w"))
-    d = d.withColumn("v", v)
+    h = F.md5(F.col("w"))
+    # 16 hex digits → 64 bits; digit k carries bits 4k..4k+3.
+    dig = d.select(
+        "doc_id", *[_md5_digit(h, k).alias(f"d{k}") for k in range(16)]
+    )
     votes = [
         F.sum(
-            (F.floor(F.col("v") / F.lit(2**j)) % 2) * 2 - 1
+            (F.floor(F.col(f"d{j // 4}") / F.lit(2 ** (j % 4))) % 2) * 2 - 1
         ).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
-    agg = d.groupBy("doc_id").agg(*votes)
-    sig = None
-    for j in range(SIMHASH_BITS):
-        bit = (F.col(f"s{j}") > 0).cast("int") * (2**j)
-        sig = bit if sig is None else sig + bit
-    return agg.select(
-        "doc_id", sig.cast("int").alias("simhash")
-    ).orderBy("doc_id")
+    agg = dig.groupBy("doc_id").agg(*votes)
+    band_cols = []
+    for m in range(SIMHASH_BANDS):
+        band = None
+        for j in range(m * BAND_BITS, (m + 1) * BAND_BITS):
+            bit = (F.col(f"s{j}") > 0).cast("int") * (2 ** (j - m * BAND_BITS))
+            band = bit if band is None else band + bit
+        band_cols.append(band.cast("int").alias(f"band{m}"))
+    return agg.select("doc_id", *band_cols).orderBy("doc_id")
 
 
 def simhash_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs: identical simhash (bucket join) —
-    the O(n) candidate generator; verify with exact Jaccard downstream."""
+    """Banded Hamming-LSH candidate pairs over 64-bit SimHash.
+
+    A pair is a candidate iff it agrees on at least one whole 16-bit
+    band (≡ Hamming distance 0 within that band). The join key is
+    (band index, 16-bit band value) — 4 × 65 536 buckets, so the
+    shuffle is O(docs·bands) and the per-bucket pair blowup is bounded
+    by genuine near-duplicates, not by a 256-bucket birthday paradox.
+    ``n_bands`` reports how many bands each pair agrees on (4 ⇒ very
+    close; 1 ⇒ borderline candidate for downstream exact verification).
+    """
     sig = simhash_signatures(spark, sf_dir)
-    a, b = sig.alias("a"), sig.alias("b")
+    bands = [
+        sig.select(
+            "doc_id",
+            F.lit(m).alias("band"),
+            F.col(f"band{m}").alias("bucket"),
+        )
+        for m in range(SIMHASH_BANDS)
+    ]
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionAll(x)
+    a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.simhash") == F.col("b.simhash"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("simhash"),
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        .agg(F.count(F.lit(1)).alias("n_bands"))
         .orderBy("doc_a", "doc_b")
     )

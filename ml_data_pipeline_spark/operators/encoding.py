@@ -101,7 +101,13 @@ def dictionary_encode_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rope-style string editing ops (reference T7, text.rs:75-318:
-    concat/insert/delete/substring) as scalar expressions."""
+    concat/insert/delete-at-position/substring) as scalar expressions.
+
+    ``ins10`` inserts a marker at char position 10; ``del5_3`` deletes
+    3 chars at position 5 — the rope's positional edits, expressed as
+    substring splicing (O(n) per row here; the reference's rope makes
+    them O(log n) in-place, which Spark's immutable columns don't need).
+    """
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -111,4 +117,12 @@ def string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.length(F.regexp_replace("text", "data", "")).alias("len_without_data"),
         F.reverse(F.substring("text", 1, 12)).alias("rev12"),
+        F.concat(
+            F.substring("text", 1, 10),
+            F.lit("<INS>"),
+            F.expr("substring(text, 11)"),
+        ).alias("ins10"),
+        F.concat(
+            F.substring("text", 1, 4), F.expr("substring(text, 8)")
+        ).alias("del5_3"),
     ).orderBy("doc_id")

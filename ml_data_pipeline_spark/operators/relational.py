@@ -328,18 +328,27 @@ def setop_active_not_building(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def union_intersect_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION / INTERSECT cardinalities over customer key sets."""
+    """UNION / INTERSECT cardinalities over customer key sets.
+
+    One lazy DataFrame (crossJoin of two single-row aggregates): no
+    driver-side ``.count()`` actions inside a ``queries()`` callable —
+    the whole thing executes as a single job when the caller acts.
+    """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     big_bal = c.where(F.col("c_acctbal") > 5000).select(
         F.col("c_custkey").alias("k")
     )
     buyers = o.select(F.col("o_custkey").alias("k")).distinct()
-    un = big_bal.union(buyers).distinct().count()
-    inter = big_bal.intersect(buyers).count()
-    return spark.createDataFrame(
-        [(int(un), int(inter))], "n_union bigint, n_intersect bigint"
+    un = (
+        big_bal.union(buyers)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_union"))
     )
+    inter = big_bal.intersect(buyers).agg(
+        F.count(F.lit(1)).alias("n_intersect")
+    )
+    return un.crossJoin(inter)
 
 
 def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

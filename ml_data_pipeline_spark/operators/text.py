@@ -22,19 +22,31 @@ def _words(col="text"):
 
 
 def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counts per language: docs, tokens, avg."""
+    """Whitespace token counts per language: docs, tokens, avg.
+
+    ``avg_tokens`` is computed with exact integer arithmetic —
+    round-half-up(total/n, 4 digits) as ``(2·total·10⁴ + n) div (2n)``
+    over bigints, then one double division by 10⁴. Double-division
+    rounding differs between engines at full precision (the round-1
+    hash mismatch); integer math is bit-identical everywhere.
+    """
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(_words())
-    return (
+    agg = (
         d.select("lang", n_tok.alias("n_tok"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("total_tokens"),
-            F.round(F.sum("n_tok") / F.count(F.lit(1)), 4).alias("avg_tokens"),
         )
-        .orderBy("lang")
     )
+    q = F.expr("(2 * total_tokens * 10000 + n_docs) div (2 * n_docs)")
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        (q / F.lit(10000.0)).alias("avg_tokens"),
+    ).orderBy("lang")
 
 
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

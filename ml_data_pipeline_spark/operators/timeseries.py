@@ -81,8 +81,14 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every event: the value of that user's most recent purchase
     at-or-before the event time (DuckDB oracle: native ASOF JOIN)."""
     e = load_table(spark, sf_dir, "events")
-    purchases = e.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("value").alias("purchase_value")
+    # Deduplicate the right side per (user_id, ts) — if a user ever had
+    # two purchases at the same timestamp, both this window pass and
+    # DuckDB's ASOF would pick an arbitrary one; max(value) makes the
+    # tie-break identical (and deterministic) in both engines.
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
     )
     joined = asof_join(
         e.select("user_id", "event_id", "ts"),

@@ -94,26 +94,32 @@ _MINHASH_COLS = ", ".join(
 )
 
 # SimHash SQL fragments (match operators.dedup exactly: distinct
-# words, first md5 byte via instr hex-digit arithmetic, ±1 votes).
-_SH_V = (
-    "(instr('0123456789abcdef', substr(md5(w),1,1))-1)*16"
-    " + (instr('0123456789abcdef', substr(md5(w),2,1))-1)"
+# words, 64-bit hash from the first 16 md5 hex digits via instr digit
+# arithmetic, ±1 votes, 4 × 16-bit band values).
+_SH_DIGITS = ", ".join(
+    f"(instr('0123456789abcdef', substr(md5(w), {k + 1}, 1))-1) AS d{k}"
+    for k in range(16)
 )
 _SH_VOTES = ", ".join(
-    f"SUM((FLOOR(v/{2**j})::BIGINT % 2)*2 - 1) AS s{j}"
+    f"SUM((FLOOR(d{j // 4}/{2 ** (j % 4)})::BIGINT % 2)*2 - 1) AS s{j}"
     for j in range(dedup.SIMHASH_BITS)
 )
-_SH_SIG = " + ".join(
-    f"(CASE WHEN s{j} > 0 THEN 1 ELSE 0 END)*{2**j}"
-    for j in range(dedup.SIMHASH_BITS)
+_SH_BANDS = ", ".join(
+    "CAST("
+    + " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN 1 ELSE 0 END)*{2 ** (j - m * dedup.BAND_BITS)}"
+        for j in range(m * dedup.BAND_BITS, (m + 1) * dedup.BAND_BITS)
+    )
+    + f" AS INTEGER) AS band{m}"
+    for m in range(dedup.SIMHASH_BANDS)
 )
 _SH_CTE = f"""
         WITH words AS (
             SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w
             FROM documents),
-        vals AS (SELECT doc_id, {_SH_V} AS v FROM words),
-        votes AS (SELECT doc_id, {_SH_VOTES} FROM vals GROUP BY doc_id),
-        sig AS (SELECT doc_id, CAST({_SH_SIG} AS INTEGER) AS simhash FROM votes)
+        digs AS (SELECT doc_id, {_SH_DIGITS} FROM words),
+        votes AS (SELECT doc_id, {_SH_VOTES} FROM digs GROUP BY doc_id),
+        sig AS (SELECT doc_id, {_SH_BANDS} FROM votes)
 """
 
 _ORACLES: dict[str, str] = {
@@ -178,8 +184,9 @@ _ORACLES: dict[str, str] = {
         SELECT e.user_id, e.event_id, p.purchase_value AS asof_purchase_value
         FROM events e
         ASOF LEFT JOIN (
-            SELECT user_id, ts, value AS purchase_value
-            FROM events WHERE event_type = 'purchase') p
+            SELECT user_id, ts, MAX(value) AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts) p
           ON e.user_id = p.user_id AND e.ts >= p.ts
         ORDER BY e.user_id, e.event_id
     """,
@@ -224,19 +231,28 @@ _ORACLES: dict[str, str] = {
                '[' || lang || '] ' || substr(text, 1, 10) AS tagged,
                CAST(length(regexp_replace(text, 'data', '', 'g')) AS INTEGER)
                    AS len_without_data,
-               reverse(substr(text, 1, 12)) AS rev12
+               reverse(substr(text, 1, 12)) AS rev12,
+               substr(text, 1, 10) || '<INS>' || substr(text, 11) AS ins10,
+               substr(text, 1, 4) || substr(text, 8) AS del5_3
         FROM documents
         ORDER BY doc_id
     """,
     "simhash_signatures": _SH_CTE
     + """
-        SELECT doc_id, simhash FROM sig ORDER BY doc_id
+        SELECT doc_id, band0, band1, band2, band3 FROM sig ORDER BY doc_id
     """,
     "simhash_bucket_pairs": _SH_CTE
     + """
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS simhash
-        FROM sig a JOIN sig b
-          ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+        , banded AS (
+            SELECT doc_id, 0 AS band, band0 AS bucket FROM sig
+            UNION ALL SELECT doc_id, 1, band1 FROM sig
+            UNION ALL SELECT doc_id, 2, band2 FROM sig
+            UNION ALL SELECT doc_id, 3, band3 FROM sig)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
         ORDER BY doc_a, doc_b
     """,
     "q1_pricing_summary": """
@@ -422,18 +438,26 @@ _ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": f"""
         WITH sh AS (
             SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
-        sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
         ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        overlap AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2)
-        SELECT doc_a, doc_b, n_common,
-               ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
-        FROM overlap
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
+        bounded AS (
+            SELECT s FROM ex GROUP BY s
+            HAVING COUNT(*) BETWEEN 2 AND {dedup.MAX_SHINGLE_DF}),
+        exf AS (SELECT ex.doc_id, ex.s FROM ex JOIN bounded USING (s)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+                   AS n_common,
+               ROUND(len(list_intersect(sa.shingles, sb.shingles)) /
+                     len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+                     4) AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+        WHERE ROUND(len(list_intersect(sa.shingles, sb.shingles)) /
+                    len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+                    4) >= 0.2
         ORDER BY doc_a, doc_b
     """,
     "minhash_signatures": f"""
@@ -513,15 +537,33 @@ _ORACLES: dict[str, str] = {
         FROM ranked WHERE rank <= 3
         ORDER BY query_id, rank
     """,
-    "cosine_neardup_pairs": """
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    "cosine_neardup_pairs": f"""
+        WITH banded AS (
+            {" UNION ALL ".join(
+                "SELECT vec_id, " + str(m) + " AS band, "
+                + " + ".join(
+                    "(CASE WHEN embedding[" + str(m * similarity.NEARDUP_BAND_DIMS + i + 1)
+                    + "] > 0 THEN 1 ELSE 0 END)*" + str(2 ** i)
+                    for i in range(similarity.NEARDUP_BAND_DIMS)
+                )
+                + " AS bucket FROM embeddings"
+                for m in range(similarity.NEARDUP_BANDS)
+            )}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b,
                ROUND(
                  list_sum(list_transform(list_zip(a.embedding, b.embedding),
                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
                  (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
                   sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
                  4) AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM cand
+        JOIN embeddings a ON a.vec_id = id_a
+        JOIN embeddings b ON b.vec_id = id_b
         WHERE ROUND(
                  list_sum(list_transform(list_zip(a.embedding, b.embedding),
                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
@@ -543,9 +585,9 @@ _ORACLES: dict[str, str] = {
     "token_count_stats": """
         SELECT lang,
                COUNT(*) AS n_docs,
-               SUM(len(string_split(text, ' '))) AS total_tokens,
-               ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 4)
-                   AS avg_tokens
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               ((2 * CAST(SUM(len(string_split(text, ' '))) AS BIGINT) * 10000
+                 + COUNT(*)) // (2 * COUNT(*))) / 10000.0 AS avg_tokens
         FROM documents
         GROUP BY lang
         ORDER BY lang

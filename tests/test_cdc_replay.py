@@ -63,6 +63,9 @@ def test_streaming_replay_matches_oracle(spark, tmp_path):
         ev_dir,
         str(tmp_path / "ckpt"),
         max_files_per_trigger=3,
+        # opt into the input_file_name() fallback scan: this test
+        # asserts lineage rows carry input file names
+        collect_input_lineage=True,
     )
     assert stats["batches"] >= 2  # really micro-batched
     _check(t, ev_dir)
