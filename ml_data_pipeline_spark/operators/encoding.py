@@ -52,29 +52,217 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_TEXT_BUCKETS = 4
+
+
 def text_line_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text/line reader with line numbers (reference S7,
-    text.rs:321-513 emits (line_number, text)): write the documents as
-    one ordered text file, read with spark.read.text, number lines.
+    """Text/line reader with per-file line numbers (reference S7,
+    text.rs:321-513 emits (line_number, text)).
+
+    Scale shape: the corpus is sharded into ``N_TEXT_BUCKETS`` text
+    files (deterministic md5 bucket of doc_id, doc_id-sorted within
+    each), and line numbers are PER FILE — a window partitioned by the
+    file, never a global single-partition sort. At 100 TB global line
+    numbers are an anti-pattern (one reducer); per-file offsets are
+    what a real line reader tracks (the reference numbers lines per
+    reader, one reader per file).
     """
     d = load_table(spark, sf_dir, "documents")
     out = os.path.join(
         tempfile.gettempdir(), f"text-lines-{os.path.basename(sf_dir)}"
     )
+    # Oracle-portable bucket: first md5 hex digit of doc_id, mod 4.
+    bucket = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    ) % N_TEXT_BUCKETS
     (
-        d.orderBy("doc_id")
-        .select("text")
-        .coalesce(1)  # single ordered file so line numbers == doc order
-        .write.mode("overwrite")
+        d.select(bucket.cast("int").alias("bucket"), "doc_id", "text")
+        # one shuffle keyed by bucket → one file per bucket directory,
+        # doc_id-sorted within it (write order = sorted order)
+        .repartition(F.col("bucket"))
+        .sortWithinPartitions("doc_id")
+        .select("bucket", "text")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
         .text(out)
     )
-    lines = spark.read.text(out)
-    w = Window.orderBy(F.monotonically_increasing_id())
+    lines = spark.read.text(out)  # partition discovery restores bucket
+    w = Window.partitionBy("bucket").orderBy(F.monotonically_increasing_id())
     numbered = lines.select(
+        F.col("bucket").cast("int").alias("bucket"),
         (F.row_number().over(w) - 1).alias("line_number"),
         F.length("value").alias("line_len"),
     )
-    return numbered.orderBy("line_number")
+    return numbered.orderBy("bucket", "line_number")
+
+
+def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines writer + schema'd reader roundtrip (reference S14:
+    the declared-but-unshipped JSON feature, ml-data-readers/
+    Cargo.toml:12-18, src/lib.rs:18-21 — demonstrated here as a real
+    source): write events as JSONL, read back with an explicit schema
+    and a PERMISSIVE corrupt-record column, aggregate. A lossless
+    roundtrip ⇒ equals the parquet oracle; ``n_corrupt`` pins the
+    corrupt-record contract (0 on clean data).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"json-roundtrip-{os.path.basename(sf_dir)}"
+    )
+    e.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+            F.count("_corrupt").alias("n_corrupt"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Reference boolean synonyms (csv/parser.rs:221-236).
+BOOL_TRUE = frozenset({"true", "1", "yes", "y", "t"})
+BOOL_FALSE = frozenset({"false", "0", "no", "n", "f"})
+INFER_SAMPLE_ROWS = 1000
+
+
+def infer_csv_schema(
+    spark: SparkSession, path: str, sample_rows: int = INFER_SAMPLE_ROWS
+) -> T.StructType:
+    """CSV schema inference with reference-parity voting (common.rs:
+    204-239): sample up to ``sample_rows`` rows and vote each column
+    Int64 → Float64 → Boolean → String, with boolean synonyms
+    true/1/yes/y/t (and their negatives). The sample is driver-side and
+    bounded — exactly what the reference does; the subsequent typed
+    read is fully distributed.
+
+    Spark's own ``inferSchema`` never votes Boolean from synonyms;
+    this closes that parity gap.
+    """
+    raw = spark.read.option("header", True).csv(path)
+    sample = raw.limit(sample_rows).collect()
+
+    def _is_int(v: str) -> bool:
+        try:
+            int(v)
+            return True
+        except ValueError:
+            return False
+
+    def _is_float(v: str) -> bool:
+        try:
+            float(v)
+            return True
+        except ValueError:
+            return False
+
+    fields = []
+    for col in raw.columns:
+        vals = [r[col] for r in sample if r[col] is not None]
+        if vals and all(_is_int(v) for v in vals):
+            dt: T.DataType = T.LongType()
+        elif vals and all(_is_float(v) for v in vals):
+            dt = T.DoubleType()
+        elif vals and all(
+            v.lower() in BOOL_TRUE or v.lower() in BOOL_FALSE for v in vals
+        ):
+            dt = T.BooleanType()
+        else:
+            dt = T.StringType()
+        fields.append(T.StructField(col, dt))
+    return T.StructType(fields)
+
+
+def read_csv_inferred(spark: SparkSession, path: str) -> DataFrame:
+    """Typed CSV read using ``infer_csv_schema``. Boolean columns are
+    read as strings and cast through the synonym table (Spark's CSV
+    parser only accepts true/false natively)."""
+    schema = infer_csv_schema(spark, path)
+    read_schema = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.StringType()
+                if isinstance(f.dataType, T.BooleanType)
+                else f.dataType,
+            )
+            for f in schema.fields
+        ]
+    )
+    df = spark.read.option("header", True).schema(read_schema).csv(path)
+    for f in schema.fields:
+        if isinstance(f.dataType, T.BooleanType):
+            low = F.lower(F.col(f.name))
+            df = df.withColumn(
+                f.name,
+                F.when(low.isin(*BOOL_TRUE), F.lit(True)).when(
+                    low.isin(*BOOL_FALSE), F.lit(False)
+                ),
+            )
+    return df
+
+
+def csv_infer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV schema-inference parity demo: write events with a
+    synonym-coded boolean column ('yes'/'t'/'true' vs 'no'/'f'), run
+    the reference-parity inference (Int64→Float64→Boolean→String
+    voting), and aggregate on the inferred types. The oracle recomputes
+    the same flag from the parquet table — green only if inference
+    voted Boolean and the synonym casts match.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", "yes")
+        .when(F.col("event_type") == "signup", "true")
+        .when(F.col("event_type") == "error", "t")
+        .when(F.col("event_type") == "click", "no")
+        .otherwise("f")
+        .alias("converted"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"csv-infer-{os.path.basename(sf_dir)}"
+    )
+    e.write.mode("overwrite").option("header", True).csv(out)
+    back = read_csv_inferred(spark, out)
+    assert isinstance(back.schema["converted"].dataType, T.BooleanType)
+    assert isinstance(back.schema["event_id"].dataType, T.LongType)
+    assert isinstance(back.schema["value"].dataType, T.DoubleType)
+    return (
+        back.groupBy("converted")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_id"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("converted")
+    )
 
 
 def dictionary_encode_sources(spark: SparkSession, sf_dir: str) -> DataFrame:

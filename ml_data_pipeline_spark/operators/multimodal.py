@@ -47,6 +47,52 @@ def _sniff(payload: bytes) -> str:
     return "raw"
 
 
+_EXT_FORMATS = {
+    "png": "png",
+    "jpg": "jpeg",
+    "jpeg": "jpeg",
+    "parquet": "parquet",
+    "arrow": "arrow",
+    "feather": "arrow",
+    "csv": "csv",
+    "tsv": "csv",
+    "json": "json",
+    "jsonl": "json",
+    "txt": "text",
+    "tfrecord": "tfrecord",
+}
+
+
+def detect_format(
+    path: str, payload: bytes | None = None
+) -> tuple[str, str | None]:
+    """Format detection: magic bytes first, then file extension,
+    including the ``.gz`` double-extension (reference: extension
+    detection with the compression suffix peeled,
+    ml-data-readers/src/common.rs:72-106, magic bytes :109-148).
+
+    Returns ``(format, compression)`` — e.g. ``("csv", "gzip")`` for
+    ``data.csv.gz``. Magic bytes win when they identify a concrete
+    format; gzip magic defers to the inner extension.
+    """
+    compression = None
+    name = path.rsplit("/", 1)[-1].lower()
+    parts = name.split(".")
+    exts = parts[1:] if parts and parts[0] else parts[2:]
+    if exts and exts[-1] in ("gz", "gzip"):
+        compression = "gzip"
+        exts = exts[:-1]
+    if payload is not None:
+        sniffed = _sniff(payload)
+        if sniffed == "gzip":
+            compression = "gzip"
+        elif sniffed != "raw":
+            return sniffed, compression
+    if exts and exts[-1] in _EXT_FORMATS:
+        return _EXT_FORMATS[exts[-1]], compression
+    return "raw", compression
+
+
 def decode_image_stub(payload: bytes) -> "object":
     """Deliberate stub: real decode needs an image library not present
     in this container. The Spark-side plumbing around it is real."""

@@ -24,6 +24,7 @@ from ml_data_pipeline_spark.operators import (
     text as TX,
     timeseries as TS,
 )
+from ml_data_pipeline_spark.sources.arrow_ipc import arrow_ipc_roundtrip_agg
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -57,6 +58,9 @@ _QUERIES: dict[str, QueryFn] = {
     "pivot_event_type_counts": TS.pivot_event_type_counts,
     # source/sink/encoding parity
     "csv_roundtrip_agg": ENC.csv_roundtrip_agg,
+    "json_roundtrip_agg": ENC.json_roundtrip_agg,
+    "csv_infer_roundtrip": ENC.csv_infer_roundtrip,
+    "arrow_ipc_roundtrip_agg": arrow_ipc_roundtrip_agg,
     "text_line_scan": ENC.text_line_scan,
     "dictionary_encode_sources": ENC.dictionary_encode_sources,
     "string_ops": ENC.string_ops,
@@ -209,11 +213,47 @@ _ORACLES: dict[str, str] = {
         GROUP BY event_type
         ORDER BY event_type
     """,
-    "text_line_scan": """
-        SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS line_number,
-               CAST(length(text) AS INTEGER) AS line_len
+    "json_roundtrip_agg": """
+        SELECT event_type,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               CAST(0 AS BIGINT) AS n_corrupt
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "csv_infer_roundtrip": """
+        SELECT event_type IN ('purchase', 'signup', 'error') AS converted,
+               COUNT(*) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS sum_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1
+        ORDER BY converted
+    """,
+    "arrow_ipc_roundtrip_agg": """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+               MIN(doc_id) AS min_doc_id,
+               MAX(doc_id) AS max_doc_id
         FROM documents
-        ORDER BY line_number
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    "text_line_scan": """
+        WITH b AS (
+            SELECT CAST((instr('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 4
+                   AS INTEGER) AS bucket,
+                   doc_id, text
+            FROM documents)
+        SELECT bucket,
+               CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1
+                    AS INTEGER) AS line_number,
+               CAST(length(text) AS INTEGER) AS line_len
+        FROM b
+        ORDER BY bucket, line_number
     """,
     "dictionary_encode_sources": """
         WITH dict AS (

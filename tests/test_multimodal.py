@@ -11,12 +11,33 @@ from ml_data_pipeline_spark.operators.multimodal import (
     decode_image_fake,
     decode_image_stub,
     decode_resize_pipeline,
+    detect_format,
 )
 
 
 def test_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"\x89PNG....")
+
+
+def test_detect_format_extension_and_double_extension():
+    # extension only
+    assert detect_format("a/b/data.csv") == ("csv", None)
+    assert detect_format("x.jsonl") == ("json", None)
+    assert detect_format("img.JPG") == ("jpeg", None)
+    # .gz double extension peels compression then resolves the inner ext
+    assert detect_format("corpus.csv.gz") == ("csv", "gzip")
+    assert detect_format("dump.json.gzip") == ("json", "gzip")
+    assert detect_format("blob.gz") == ("raw", "gzip")
+    # magic bytes win over a lying extension
+    assert detect_format("fake.csv", b"\x89PNG\r\n") == ("png", None)
+    assert detect_format("fake.txt", b"PAR1xxxx") == ("parquet", None)
+    # gzip magic defers to the inner extension
+    assert detect_format("corpus.csv.gz", b"\x1f\x8b\x08") == ("csv", "gzip")
+    # dotfiles: leading dot is not an extension
+    assert detect_format(".gitignore") == ("raw", None)
+    # no extension, no magic
+    assert detect_format("README", b"hello") == ("raw", None)
 
 
 def test_fake_decoder_deterministic():

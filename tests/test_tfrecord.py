@@ -22,6 +22,39 @@ def test_crc32c_known_vectors():
     assert crc32c(b"123456789") == 0xE3069283
 
 
+def test_crc32c_vectorized_kernel_matches_and_is_fast():
+    """The bulk kernel (numpy interleaved chunks + GF(2) zero-advance
+    fold) must agree with the byte-at-a-time Sarwate loop at every
+    boundary length, and be decisively faster than per-byte Python at
+    a 1 MB payload (the round-1 implementation was a per-byte loop)."""
+    import os
+    import random
+    import time
+
+    from ml_data_pipeline_spark.sources.tfrecord import _T0
+
+    def bytewise(data: bytes) -> int:
+        crc = 0xFFFFFFFF
+        for b in data:
+            crc = (crc >> 8) ^ _T0[(crc ^ b) & 0xFF]
+        return crc ^ 0xFFFFFFFF
+
+    random.seed(7)
+    for n in [0, 1, 7, 8, 9, 511, 512, 513, 1023, 1024, 1025, 5000]:
+        d = bytes(random.randrange(256) for _ in range(n))
+        assert crc32c(d) == bytewise(d), n
+
+    payload = os.urandom(1 << 20)
+    t0 = time.perf_counter()
+    got = crc32c(payload)
+    fast = time.perf_counter() - t0
+    assert got == bytewise(payload)
+    # per-byte Python runs ~1 MB in >0.1 s even on a fast machine; the
+    # vectorized kernel does >50 MB/s — assert a conservative 20 MB/s
+    # so a noisy-neighbor CPU can't flake the test.
+    assert fast < 0.05, f"1 MB crc took {fast:.3f}s — not vectorized?"
+
+
 def test_roundtrip_local(tmp_path):
     payloads = [b"hello", b"", b"x" * 1000, bytes(range(256))]
     p = str(tmp_path / "a.tfrecord")
