@@ -95,6 +95,11 @@ def running_latest_stream(
     )
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def run_running_latest(
     spark: SparkSession,
     events_dir: str,
@@ -102,18 +107,39 @@ def run_running_latest(
     *,
     sink_table: str = "running_latest",
     timeout_sec: float = 300.0,
+    state_store_provider: str | None = None,
 ) -> DataFrame:
     """Replay through the stateful operator into a memory sink; the
-    LAST emission per doc_id is its final state."""
-    q = (
-        running_latest_stream(spark, events_dir)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(sink_table)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    LAST emission per doc_id is its final state.
+
+    ``state_store_provider`` selects the streaming state store —
+    pass ``ROCKSDB_PROVIDER`` for the RocksDB-backed store: at 10^9
+    live keys the default HDFS-backed store holds every key on the
+    executor heap (OOM); RocksDB spills state to local disk with a
+    block-cache working set, which is the sizing that makes the per-key
+    O(1) state invariant viable at full scale. The provider is captured
+    at query start, so it is set (and restored) around ``start()``.
+    """
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    if state_store_provider:
+        spark.conf.set(conf_key, state_store_provider)
+    try:
+        q = (
+            running_latest_stream(spark, events_dir)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if state_store_provider:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
     try:
         q.awaitTermination(timeout_sec)
     finally:

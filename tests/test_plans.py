@@ -57,3 +57,36 @@ def test_latest_event_is_partial_aggregable(spark, sf_dir):
     # exchange (map-side combine — the skew defense)
     plan = _plan(R.latest_event_per_user(spark, sf_dir))
     assert "partial_max" in plan
+
+
+def test_lazy_queries_no_driver_materialization(spark, sf_dir):
+    """queries() callables must be lazy: no .collect()/.count() inside
+    (round 1 had both in union_intersect_counts and
+    cosine_neardup_pairs) and no driver-materialized data in the plan.
+    (Scan-metadata jobs from spark.read are fine; what's banned is
+    result materialization.)"""
+    import ast
+    import inspect
+    import textwrap
+
+    from ml_data_pipeline_spark.operators import similarity
+
+    for fn in (R.union_intersect_counts, similarity.cosine_neardup_pairs):
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+        actions = [
+            node.func.attr
+            for node in ast.walk(tree)
+            if isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr in ("collect", "count", "toPandas")
+            # F.count(...) is an aggregate EXPRESSION, not an action
+            and not (
+                isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "F"
+            )
+        ]
+        assert not actions, f"{fn.__name__} calls driver actions: {actions}"
+        plan = _plan(fn(spark, sf_dir))
+        assert "ExistingRDD" not in plan and "LocalTableScan" not in plan, (
+            fn.__name__
+        )

@@ -5,7 +5,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ml_data_pipeline_spark.cdc.events import generate_change_stream
-from ml_data_pipeline_spark.streaming.stateful import run_running_latest
+from ml_data_pipeline_spark.streaming.stateful import (
+    ROCKSDB_PROVIDER,
+    run_running_latest,
+)
 
 
 def test_running_latest_matches_batch_reduce(spark, tmp_path):
@@ -36,6 +39,41 @@ def test_running_latest_matches_batch_reduce(spark, tmp_path):
             "D" if r["op"] == "D" else "U",
             r["n_tok"],
         )
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_running_latest_rocksdb_state_store(spark, tmp_path):
+    """Same operator on the RocksDB state store (the 10^9-live-keys
+    sizing: state on local disk, not executor heap) at a key count
+    large enough to exercise real store traffic — result must be
+    identical to the batch max-seq reduce."""
+    ev_dir = str(tmp_path / "events")
+    generate_change_stream(
+        spark, ev_dir, 5000, 20000, n_chunks=4, seed=11, shuffle_window=500
+    )
+    out = run_running_latest(
+        spark,
+        ev_dir,
+        str(tmp_path / "ckpt-rocks"),
+        sink_table="rl_rocks",
+        state_store_provider=ROCKSDB_PROVIDER,
+    )
+    final = (
+        out.groupBy("doc_id")
+        .agg(F.max(F.struct("seq", "op", "n_tok")).alias("p"))
+        .select("doc_id", "p.seq", "p.op", "p.n_tok")
+    )
+    got = {r["doc_id"]: (r["seq"], r["op"], r["n_tok"]) for r in final.collect()}
+    ev = spark.read.option("recursiveFileLookup", "true").parquet(ev_dir)
+    batch = (
+        ev.groupBy("doc_id")
+        .agg(F.max(F.struct("seq", "op", "n_tok")).alias("p"))
+        .select("doc_id", "p.seq", "p.op", "p.n_tok")
+    )
+    want = {
+        r["doc_id"]: (r["seq"], "D" if r["op"] == "D" else "U", r["n_tok"])
         for r in batch.collect()
     }
     assert got == want
