@@ -40,6 +40,50 @@ def expected_state(events: pd.DataFrame, key: str = "doc_id") -> pd.DataFrame:
     return red[keep].reset_index(drop=True)
 
 
+def _missing(v) -> bool:
+    if v is None:
+        return True
+    if isinstance(v, float) and np.isnan(v):
+        return True
+    return False
+
+
+def expected_state_with_patches(
+    events: pd.DataFrame, key: str = "doc_id"
+) -> pd.DataFrame:
+    """Ordered-replay reducer WITH partial-column patches (op 'P').
+
+    Events applied strictly in seq order: I/U replace the row, D
+    deletes it, P overwrites only its non-null payload columns and is
+    dropped if no live row exists. Independent of the engine's
+    lattice-based implementation — a straight per-event loop.
+    """
+    payload = [
+        c
+        for c in events.columns
+        if c not in (key, "seq", "op", "ts", "chunk", "table")
+    ]
+    state: dict = {}
+    ordered = events.sort_values("seq", kind="mergesort")
+    for r in ordered.itertuples(index=False):
+        d = dict(zip(ordered.columns, r))
+        k = d[key]
+        op = d["op"]
+        if op == "D":
+            state.pop(k, None)
+        elif op in ("I", "U"):
+            state[k] = {c: d[c] for c in payload}
+        elif op == "P":
+            if k in state:
+                for c in payload:
+                    if not _missing(d[c]):
+                        state[k][c] = d[c]
+    if not state:
+        return pd.DataFrame(columns=[key, *payload])
+    rows = [{key: k, **v} for k, v in state.items()]
+    return pd.DataFrame(rows)[[key, *payload]]
+
+
 def _norm_tokens(v) -> list[int]:
     if v is None:
         return []

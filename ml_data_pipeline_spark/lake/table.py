@@ -66,6 +66,9 @@ from ml_data_pipeline_spark.lake.schema_evolution import (
 SEQ_COL = "_seq"
 DELETED_COL = "_deleted"
 HIDDEN_COLS = (SEQ_COL, DELETED_COL)
+PS_PREFIX = "_ps_"  # per-column patch-seq columns (patch-enabled tables)
+PATCH_PROP = "patch.enabled"
+CARRIER_SEQ = -(2**62)  # _seq of patch-carrier rows: loses to any full event
 
 
 @dataclass
@@ -121,14 +124,27 @@ class Snapshot:
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self.schema_json)
 
+    @property
+    def patch_enabled(self) -> bool:
+        return self.properties.get(PATCH_PROP) == "true"
+
+    def payload_cols(self) -> list[str]:
+        return [f.name for f in self.schema.fields if f.name != self.key_col]
+
     def storage_schema(self) -> T.StructType:
-        return T.StructType(
-            list(self.schema.fields)
-            + [
-                T.StructField(SEQ_COL, T.LongType(), False),
-                T.StructField(DELETED_COL, T.BooleanType(), False),
+        fields = list(self.schema.fields) + [
+            T.StructField(SEQ_COL, T.LongType(), False),
+            T.StructField(DELETED_COL, T.BooleanType(), False),
+        ]
+        if self.patch_enabled:
+            # One patch-seq per payload column: the LSN of the patch
+            # event whose value currently overlays the base row's
+            # (null = the column comes from the base full event).
+            fields += [
+                T.StructField(PS_PREFIX + c, T.LongType(), True)
+                for c in self.payload_cols()
             ]
-        )
+        return T.StructType(fields)
 
     def to_json(self) -> dict:
         return {
@@ -409,6 +425,64 @@ class LakeTable:
             F.col(f"_p.{SEQ_COL}").alias(SEQ_COL),
         )
 
+    @staticmethod
+    def _reduce_latest_patch(
+        df: DataFrame,
+        key_col: str,
+        payload: Sequence[str],
+        salt_col: str | None = None,
+    ) -> DataFrame:
+        """LWW-per-column reduce for patch-enabled tables.
+
+        Semantics (exactly ordered-replay): per key, the max-``_seq``
+        FULL event is the base row (patch-carrier rows sit at
+        ``CARRIER_SEQ`` and lose to any full event); per payload
+        column, the max patch-seq overlay applies iff its seq beats the
+        base's. Deletes win as base (a patch never resurrects a row),
+        but surviving overlays are RETAINED on tombstones so an
+        out-of-order full event arriving later is still patched.
+
+        Everything is a max — partially aggregable and a semilattice
+        (the reduce's output rows are valid inputs), so map-side
+        combine, salting, and cross-batch/compaction merging all
+        compose exactly.
+        """
+        base = F.max(F.struct(SEQ_COL, *payload, DELETED_COL)).alias("_b")
+        overlays = [
+            F.max(
+                F.when(
+                    F.col(PS_PREFIX + c).isNotNull(),
+                    F.struct(
+                        F.col(PS_PREFIX + c).alias("ps"), F.col(c).alias("v")
+                    ),
+                )
+            ).alias(f"_o_{c}")
+            for c in payload
+        ]
+        group = [key_col] if salt_col is None else [key_col, salt_col]
+        packed = df.groupBy(*group).agg(base, *overlays)
+        fseq = F.col(f"_b.{SEQ_COL}")
+        deleted = F.col(f"_b.{DELETED_COL}")
+        out_vals, out_ps = [], []
+        for c in payload:
+            o = F.col(f"_o_{c}")
+            applied = o.isNotNull() & (o["ps"] > fseq)
+            out_vals.append(
+                F.when(applied, o["v"])
+                .otherwise(
+                    F.when(deleted, F.lit(None)).otherwise(F.col(f"_b.{c}"))
+                )
+                .alias(c)
+            )
+            out_ps.append(F.when(applied, o["ps"]).alias(PS_PREFIX + c))
+        return packed.select(
+            key_col,
+            *out_vals,
+            fseq.alias(SEQ_COL),
+            deleted.alias(DELETED_COL),
+            *out_ps,
+        )
+
     def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
         path = os.path.join(self.meta_dir, f"snapshot-{snapshot_id}.json")
         with open(path) as f:
@@ -442,7 +516,15 @@ class LakeTable:
             bexpr = self.bucket_expr(snap=snap)
             need = raw.where(bexpr.isin([int(b) for b in delta_buckets]))
             done = raw.where(~bexpr.isin([int(b) for b in delta_buckets]))
-            reduced = self._reduce_latest(need, snap.key_col).unionByName(done)
+            if snap.patch_enabled:
+                red = self._reduce_latest_patch(
+                    need,
+                    snap.key_col,
+                    [f.name for f in snap.schema.fields if f.name != snap.key_col],
+                )
+            else:
+                red = self._reduce_latest(need, snap.key_col)
+            reduced = red.unionByName(done)
         else:
             reduced = raw
         live = reduced.where(~F.col(DELETED_COL))
@@ -478,10 +560,26 @@ class LakeTable:
         enforced within the batch here and across batches by the
         read/compaction reduce over stored ``_seq``.
 
+        Patch-enabled tables (created with properties
+        ``{"patch.enabled": "true"}``) additionally accept op 'P' —
+        a partial-column update that sets only its non-null payload
+        columns. Semantics are exact ordered-replay last-writer-wins
+        per column: a full event replaces every column; a patch
+        overlays the columns it sets until a higher-seq full event; a
+        delete kills the row (patches never resurrect); out-of-order
+        arrival across batches resolves identically (the reduce is a
+        semilattice over per-column seqs).
+
         Exactly-once: if ``batch_id`` is at-or-below the stream's
         committed watermark the call is a no-op (replay after restart).
         """
-        snap = self.snapshot
+        # Re-resolve the committed pointer: another handle to the same
+        # table (CLI, streaming runner) may have committed since this
+        # instance last looked — building on a stale snapshot would
+        # fork history and clobber those commits.
+        snap = self.refresh()
+        patch_mode = snap.properties.get(PATCH_PROP) == "true"
+        allowed_ops = ("I", "U", "D", "P") if patch_mode else ("I", "U", "D")
         if batch_id is not None and self.already_applied(stream_id, batch_id):
             return {
                 "skipped": True,
@@ -514,7 +612,7 @@ class LakeTable:
                 # (not true) for NULL, which would let the row through
                 # with _deleted=NULL and silently vanish from reads.
                 .when(F.col(op_col).isNull(), "null_op")
-                .when(~F.col(op_col).isin("I", "U", "D"), "bad_op")
+                .when(~F.col(op_col).isin(*allowed_ops), "bad_op")
             )
             if "tokens" in events.columns and "n_tok" in events.columns:
                 reason = reason.when(
@@ -535,52 +633,128 @@ class LakeTable:
             events = events.where(F.col("_reason").isNull()).drop("_reason")
 
         # --- per-batch resolution (max-seq wins inside the batch) -------
-        ev = events.withColumn(SEQ_COL, F.col(seq_col).cast("long")).withColumn(
-            DELETED_COL, F.col(op_col) == F.lit("D")
-        )
-        cols = []
         have = {f.name for f in payload_fields}
-        for f_ in schema_after.fields:
-            if f_.name in have:
-                cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
-            else:
-                cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
-        ev = ev.select(*cols, SEQ_COL, DELETED_COL)
-        # Null out payload on deletes so tombstones carry no stale data.
-        payload_cols = []
-        for f_ in schema_after.fields:
-            if f_.name == snap.key_col:
-                payload_cols.append(F.col(f_.name))
-            else:
-                payload_cols.append(
-                    F.when(F.col(DELETED_COL), F.lit(None).cast(f_.dataType))
-                    .otherwise(F.col(f_.name))
-                    .alias(f_.name)
+
+        def _cast_cols(src_has: set) -> list:
+            cols = []
+            for f_ in schema_after.fields:
+                if f_.name in src_has:
+                    cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+                else:
+                    cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+            return cols
+
+        payload_names = [
+            f.name for f in schema_after.fields if f.name != snap.key_col
+        ]
+        if patch_mode:
+            # Full events (I/U/D): ordinary rows, no overlays.
+            fulls = (
+                events.where(F.col(op_col) != "P")
+                .withColumn(SEQ_COL, F.col(seq_col).cast("long"))
+                .withColumn(DELETED_COL, F.col(op_col) == F.lit("D"))
+                .select(*_cast_cols(have), SEQ_COL, DELETED_COL)
+            )
+            nulled = []
+            for f_ in schema_after.fields:
+                if f_.name == snap.key_col:
+                    nulled.append(F.col(f_.name))
+                else:
+                    nulled.append(
+                        F.when(F.col(DELETED_COL), F.lit(None).cast(f_.dataType))
+                        .otherwise(F.col(f_.name))
+                        .alias(f_.name)
+                    )
+            fulls = fulls.select(
+                *nulled,
+                SEQ_COL,
+                DELETED_COL,
+                *[
+                    F.lit(None).cast("long").alias(PS_PREFIX + c)
+                    for c in payload_names
+                ],
+            )
+            # Patch events: carrier rows at CARRIER_SEQ (lose to any
+            # full event as base; _deleted=true so an all-patch history
+            # materializes no row) carrying per-column overlay seqs.
+            psrc = events.where(F.col(op_col) == "P")
+            pseq = F.col(seq_col).cast("long")
+            ps_cols = [
+                F.when(F.col(c).isNotNull(), pseq).alias(PS_PREFIX + c)
+                if c in have
+                else F.lit(None).cast("long").alias(PS_PREFIX + c)
+                for c in payload_names
+            ]
+            patches = psrc.select(
+                *_cast_cols(have),
+                F.lit(CARRIER_SEQ).cast("long").alias(SEQ_COL),
+                F.lit(True).alias(DELETED_COL),
+                *ps_cols,
+            )
+            ev = fulls.unionByName(patches)
+            if salt:
+                # The patch reduce is a semilattice: reduce (key, salt)
+                # then reduce key — exact split.
+                salted = ev.withColumn(
+                    "_salt",
+                    F.pmod(
+                        F.xxhash64(
+                            F.col(SEQ_COL),
+                            *[F.col(PS_PREFIX + c) for c in payload_names],
+                        ),
+                        F.lit(salt),
+                    ),
                 )
-        ev = ev.select(*payload_cols, SEQ_COL, DELETED_COL)
-        if salt:
-            # Two-phase salted reduce for pathologically hot keys: the
-            # salt spreads one key over `salt` reducers, then a second
-            # tiny reduce finishes. max-by-seq is associative, so the
-            # split is exact.
-            salted = ev.withColumn(
-                "_salt", F.pmod(F.xxhash64(F.col(SEQ_COL)), F.lit(salt))
-            )
-            other = [c for c in ev.columns if c not in (snap.key_col, SEQ_COL)]
-            phase1 = salted.groupBy(snap.key_col, "_salt").agg(
-                F.max(F.struct(SEQ_COL, *other)).alias("_p")
-            )
-            resolved = (
-                phase1.groupBy(snap.key_col)
-                .agg(F.max("_p").alias("_p"))
-                .select(
-                    snap.key_col,
-                    *[F.col(f"_p.{c}").alias(c) for c in other],
-                    F.col(f"_p.{SEQ_COL}").alias(SEQ_COL),
+                phase1 = self._reduce_latest_patch(
+                    salted, snap.key_col, payload_names, salt_col="_salt"
                 )
-            )
+                resolved = self._reduce_latest_patch(
+                    phase1, snap.key_col, payload_names
+                )
+            else:
+                resolved = self._reduce_latest_patch(
+                    ev, snap.key_col, payload_names
+                )
         else:
-            resolved = self._reduce_latest(ev, snap.key_col)
+            ev = events.withColumn(
+                SEQ_COL, F.col(seq_col).cast("long")
+            ).withColumn(DELETED_COL, F.col(op_col) == F.lit("D"))
+            ev = ev.select(*_cast_cols(have), SEQ_COL, DELETED_COL)
+            # Null out payload on deletes so tombstones carry no stale data.
+            payload_cols = []
+            for f_ in schema_after.fields:
+                if f_.name == snap.key_col:
+                    payload_cols.append(F.col(f_.name))
+                else:
+                    payload_cols.append(
+                        F.when(F.col(DELETED_COL), F.lit(None).cast(f_.dataType))
+                        .otherwise(F.col(f_.name))
+                        .alias(f_.name)
+                    )
+            ev = ev.select(*payload_cols, SEQ_COL, DELETED_COL)
+            if salt:
+                # Two-phase salted reduce for pathologically hot keys: the
+                # salt spreads one key over `salt` reducers, then a second
+                # tiny reduce finishes. max-by-seq is associative, so the
+                # split is exact.
+                salted = ev.withColumn(
+                    "_salt", F.pmod(F.xxhash64(F.col(SEQ_COL)), F.lit(salt))
+                )
+                other = [c for c in ev.columns if c not in (snap.key_col, SEQ_COL)]
+                phase1 = salted.groupBy(snap.key_col, "_salt").agg(
+                    F.max(F.struct(SEQ_COL, *other)).alias("_p")
+                )
+                resolved = (
+                    phase1.groupBy(snap.key_col)
+                    .agg(F.max("_p").alias("_p"))
+                    .select(
+                        snap.key_col,
+                        *[F.col(f"_p.{c}").alias(c) for c in other],
+                        F.col(f"_p.{SEQ_COL}").alias(SEQ_COL),
+                    )
+                )
+            else:
+                resolved = self._reduce_latest(ev, snap.key_col)
 
         # --- evolve schema on the in-flight snapshot ---------------------
         # NOTE: self._snapshot is NOT touched until _write_snapshot's
@@ -637,7 +811,7 @@ class LakeTable:
                     F.when(F.col(snap.key_col).isNull(), "null_key")
                     .when(F.col(seq_col).isNull(), "null_seq")
                     .when(F.col(op_col).isNull(), "null_op")
-                    .when(~F.col(op_col).isin("I", "U", "D"), "bad_op")
+                    .when(~F.col(op_col).isin(*allowed_ops), "bad_op")
                 )
                 if (
                     "tokens" in events_orig.columns
@@ -692,11 +866,34 @@ class LakeTable:
         if not victims:
             return
         raw = self.scan_files(files=victims, snap=snap)
-        reduced = self._reduce_latest(raw, snap.key_col)
-        if gc_before_seq is not None:
-            reduced = reduced.where(
-                (~F.col(DELETED_COL)) | (F.col(SEQ_COL) >= F.lit(gc_before_seq))
-            )
+        if snap.patch_enabled:
+            payload = [
+                f.name for f in snap.schema.fields if f.name != snap.key_col
+            ]
+            reduced = self._reduce_latest_patch(raw, snap.key_col, payload)
+            if gc_before_seq is not None:
+                # Keep tombstones whose base OR any overlay is at/after
+                # the watermark (a patch-carrier tombstone still guards
+                # its overlays for a late full event).
+                ps_vals = [
+                    F.coalesce(F.col(PS_PREFIX + c), F.lit(CARRIER_SEQ))
+                    for c in payload
+                ]
+                live_ps = (
+                    F.greatest(*ps_vals) if len(ps_vals) > 1 else ps_vals[0]
+                )
+                reduced = reduced.where(
+                    (~F.col(DELETED_COL))
+                    | (F.col(SEQ_COL) >= F.lit(gc_before_seq))
+                    | (live_ps >= F.lit(gc_before_seq))
+                )
+        else:
+            reduced = self._reduce_latest(raw, snap.key_col)
+            if gc_before_seq is not None:
+                reduced = reduced.where(
+                    (~F.col(DELETED_COL))
+                    | (F.col(SEQ_COL) >= F.lit(gc_before_seq))
+                )
         new_files = self._write_files(reduced, kind="base", snap=snap)
         fp = _schema_fp(snap.storage_schema())
         snap.schemas[fp] = snap.storage_schema().jsonValue()
@@ -709,7 +906,7 @@ class LakeTable:
         gc_before_seq: int | None = None,
     ) -> dict:
         """Fold delta files into base files (optionally GC old tombstones)."""
-        snap = self.snapshot
+        snap = self.refresh()  # never compact from a stale snapshot
         if buckets is None:
             buckets = sorted({f.bucket for f in snap.files if f.kind == "delta"})
         new_snap = Snapshot(

@@ -156,8 +156,22 @@ def minhash_lsh_candidates(
     Scale path vs ngram_jaccard_pairs: the join key is a fixed-width
     band value instead of raw shingles, so the shuffle is O(docs·bands)
     not O(total shingle occurrences), and hot shingles cannot skew it.
+
+    The shingle arrays are persisted (memory-and-disk) because BOTH the
+    signature job and the verification join consume them — without the
+    persist the split+md5 work runs twice end-to-end.
     """
-    sig = minhash_signatures(spark, sf_dir)
+    from pyspark.storagelevel import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles().alias("sh")
+    )
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = (
+        d.select("doc_id", F.explode("sh").alias("s"))
+        .groupBy("doc_id")
+        .agg(*_minhash_cols())
+    )
     bands = []
     n_bands = N_HASHES // BAND_SIZE
     for bnd in range(n_bands):
@@ -185,10 +199,7 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
-    # Exact verification of candidates only.
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _shingles().alias("sh")
-    )
+    # Exact verification of candidates only (reuses the persisted d).
     da = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     db = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     ver = (

@@ -155,6 +155,56 @@ def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_classify(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """k-NN majority-vote label prediction for the query vectors.
+
+    Exact top-k by cosine over all other vectors (the correctness
+    baseline; swap the candidate set for the IVF cell join at scale),
+    then a majority vote over the neighbours' labels with a
+    deterministic tie-break (higher vote count, then smaller label).
+    Plan shape: broadcast the handful of query vectors, one scan of the
+    embeddings scores all queries at once, per-query top-k via window.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id").isin(IVF_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_expr(F.col("embedding"), F.col("q_emb")), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    topk = scored.withColumn("rk", F.row_number().over(wk)).where(
+        F.col("rk") <= k
+    )
+    votes = topk.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "n_votes")
+        .orderBy("query_id")
+    )
+
+
 IVF_DIMS = 4  # sign-quantized dims → 16 coarse cells
 IVF_QUERIES = [0, 1, 2, 3, 4]
 

@@ -75,6 +75,7 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_topk_cosine": similarity.ann_topk_cosine,
     "ivf_ann_topk": similarity.ivf_ann_topk,
     "cosine_neardup_pairs": similarity.cosine_neardup_pairs,
+    "knn_classify": similarity.knn_classify,
     "vector_norm_stats": similarity.vector_norm_stats,
     # text
     "token_count_stats": TX.token_count_stats,
@@ -611,6 +612,36 @@ _ORACLES: dict[str, str] = {
                   sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
                  4) >= 0.5
         ORDER BY id_a, id_b
+    """,
+    "knn_classify": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+        scored AS (
+            SELECT q.query_id, e.label, e.vec_id AS neighbor_id,
+                   ROUND(
+                     list_sum(list_transform(list_zip(e.embedding, q.q_emb),
+                              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+                     (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                      sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                     4) AS cosine
+            FROM embeddings e, q
+            WHERE e.vec_id != q.query_id),
+        topk AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rk
+                FROM scored)
+            WHERE rk <= 5),
+        votes AS (
+            SELECT query_id, label, COUNT(*) AS n_votes
+            FROM topk GROUP BY query_id, label)
+        SELECT query_id, label AS pred_label, n_votes FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY n_votes DESC, label ASC) AS vr
+            FROM votes)
+        WHERE vr = 1
+        ORDER BY query_id
     """,
     "vector_norm_stats": """
         SELECT label,
