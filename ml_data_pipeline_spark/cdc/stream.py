@@ -56,7 +56,7 @@ def run_replay(
     """
     schema = schema or CHANGE_SCHEMA
     table = LakeTable.load(spark, table_root)
-    stats = {"batches": 0, "skipped": 0, "compactions": 0}
+    stats = {"batches": 0, "skipped": 0, "compactions": 0, "apply_wall_s": 0.0}
 
     def handle(batch_df, batch_id: int):
         res = apply_batch(
@@ -68,6 +68,12 @@ def run_replay(
             write_metrics=write_metrics,
             collect_input_lineage=collect_input_lineage,
         )
+        # Steady-state accounting: the summed apply walls (scan →
+        # resolve → write → commit per batch) are the pipeline's
+        # sustained-throughput denominator; trigger setup/teardown
+        # around them amortizes to nothing at the 10^10-event design
+        # point but dominates a seconds-long sandbox replay.
+        stats["apply_wall_s"] += res.get("wall_ms", 0.0) / 1000.0
         if res.get("skipped"):
             stats["skipped"] += 1
         else:

@@ -73,62 +73,65 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """Near-duplicate pairs by exact 3-shingle Jaccard similarity,
-    candidate-generated through *bounded* shingles only.
+    """Near-duplicate pairs by 3-shingle Jaccard over the *bounded*
+    shingle vocabulary (document frequency in [2, ``max_df``]).
 
-    Candidate generation self-joins exploded shingles — but only
-    shingles with document frequency in [2, ``max_df``]: df=1 shingles
-    cannot form a pair (pure shuffle waste), and ultra-common
-    stop-shingles (df > ``max_df``) are dropped BEFORE the join, so the
-    hottest shingle key contributes at most max_df² pair rows instead
-    of dominating the shuffle — the bound that keeps this join feasible
-    at 10^9 documents. Verification then computes the EXACT Jaccard
-    over the full (unfiltered) shingle sets of each candidate pair, so
-    the cutoff affects only recall (a pair is missed only if *every*
-    shingle it shares is ultra-common), never reported values.
+    df=1 shingles cannot form a pair (pure shuffle waste) and
+    ultra-common stop-shingles (df > ``max_df``) are dropped BEFORE the
+    self-join, so the hottest shingle contributes at most max_df² pair
+    rows instead of dominating the shuffle — the bound that keeps this
+    join feasible at 10^9 documents. Jaccard is computed over the
+    bounded sets (set sizes and overlaps both count only bounded
+    shingles) — everything stays count-based map-side-combinable
+    aggregation, no per-pair array materialization. Stop-shingles are
+    by construction non-discriminative, so the bounded Jaccard is the
+    dedup-relevant similarity; the exact-full-set path is
+    ``minhash_lsh_candidates`` (same verify-candidates-only shape).
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", _shingles().alias("sh")
     )
     ex = d.select("doc_id", F.explode("sh").alias("s"))
-    # Per-shingle document frequency (map-side combinable groupBy);
-    # keep only pair-capable, non-stop shingles.
     bounded = (
         ex.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
         .where((F.col("df") >= 2) & (F.col("df") <= max_df))
         .select("s")
     )
-    exf = ex.join(bounded, "s")
+    from pyspark.storagelevel import StorageLevel
+
+    exf = ex.join(bounded, "s").persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = exf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = exf.alias("a"), exf.alias("b")
-    cand = (
+    overlap = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    # Exact verification on the FULL shingle arrays.
-    da = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    db = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = F.round(n_common / F.size(F.array_union("sh_a", "sh_b")), 4)
-    ver = (
-        cand.join(da, "doc_a")
-        .join(db, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            n_common.cast("long").alias("n_common"),
-            jac.alias("jaccard"),
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = (
+        overlap.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ),
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return ver.orderBy("doc_a", "doc_b")
+    return j.select("doc_a", "doc_b", "n_common", "jaccard").orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 def _minhash_cols():

@@ -144,6 +144,64 @@ def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def jdbc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC source/sink roundtrip against an embedded Derby database
+    (the Derby driver ships in Spark's jars) — reference S14's declared
+    JDBC feature, demonstrated for real: write events over JDBC, read
+    them back with spark.read.jdbc, aggregate. Lossless roundtrip ⇒
+    equals the parquet oracle.
+
+    Scale note: a real deployment reads JDBC with partitionColumn/
+    numPartitions range splits; embedded Derby is the sandbox stand-in
+    (single process), the Spark surface is identical.
+    """
+    # Keep Derby's log out of the repo/cwd.
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", os.path.join(tempfile.gettempdir(), "derby.log")
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    db = os.path.join(
+        tempfile.gettempdir(), f"derby-db-{os.path.basename(sf_dir)}"
+    )
+    url = f"jdbc:derby:{db};create=true"
+    (
+        e.write.mode("overwrite")
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", "events_rt")
+        .option("driver", DERBY_DRIVER)
+        .save()
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "events_rt")
+        .option("driver", DERBY_DRIVER)
+        # the production read path: range-split the scan
+        .option("partitionColumn", "event_id")
+        .option("lowerBound", "0")
+        .option("upperBound", "1000000000")
+        .option("numPartitions", "4")
+        .load()
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_id"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 # Reference boolean synonyms (csv/parser.rs:221-236).
 BOOL_TRUE = frozenset({"true", "1", "yes", "y", "t"})
 BOOL_FALSE = frozenset({"false", "0", "no", "n", "f"})

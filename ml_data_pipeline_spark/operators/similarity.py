@@ -63,79 +63,54 @@ def ann_topk_cosine(
     )
 
 
-NEARDUP_BANDS = 4
-NEARDUP_BAND_DIMS = 4  # sign pattern of 4 dims per band → 16 buckets/band
-
-
-def _sign_band(emb, start: int, ndims: int = NEARDUP_BAND_DIMS):
-    """Sign-pattern LSH bucket over dims [start, start+ndims) — the
-    random-hyperplane signature family with axis-aligned planes
-    (deterministic + oracle-portable; trained hyperplanes drop in
-    without changing the plan shape)."""
-    cell = F.lit(0)
-    for i in range(ndims):
-        cell = cell + (emb[start + i] > 0).cast("int") * (2**i)
-    return cell
-
-
 def cosine_neardup_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5
 ) -> DataFrame:
-    """Vector pairs with cosine ≥ threshold, via banded sign-LSH.
+    """Vector pairs with cosine ≥ threshold, via per-cell blocked GEMM.
 
-    Fully distributed — NO driver collect, NO all-pairs join: each
-    vector gets 4 band keys (sign pattern of 4 dims per band); a pair
-    is a candidate iff it matches in ≥1 band (vectors with cosine ≥0.5
-    agree on most coordinate signs, so multi-band matching catches
-    them w.h.p.); candidates — a tiny set — are then verified with the
-    exact cosine expression. The shuffle is O(vectors·bands) on
-    fixed-width band keys; per-bucket pair cost is bounded by genuine
-    near-duplicates. This is the 10^9-vector shape (the round-1
-    version collected every vector to the driver and ran an O(n²)
-    GEMM — a driver OOM at scale).
+    Fully distributed — NO driver collect, NO all-pairs join, NO
+    per-pair expression evaluation: vectors are bucketed by the IVF
+    coarse quantizer (`_ivf_cell`), and within each cell an
+    executor-side numpy GEMM scores the block and emits only the
+    above-threshold (id_a < id_b) pairs. The payload never leaves the
+    executors; the only shuffle is the cell groupBy.
+
+    This is the 10^9-vector shape: cells come from a quantizer whose
+    cell count grows with n (trained centroids in production — the
+    sign quantizer here is the deterministic, oracle-portable
+    stand-in), so per-cell blocks stay executor-sized and the GEMM is
+    dense-BLAS fast. Round 1 collected every vector to the driver and
+    broadcast an O(n²) GEMM — a driver OOM at scale; a pure sign-LSH
+    band join was tried and generates ~n²/2^bits candidates at 64-dim
+    cosine 0.5 (sign bits are weak planes for 60° neighbourhoods) —
+    the cell-blocked GEMM is both faster and the honest IVF design.
     """
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bands = [
-        e.select(
-            "vec_id",
-            F.lit(m).alias("band"),
-            _sign_band(
-                F.col("embedding"), m * NEARDUP_BAND_DIMS
-            ).alias("bucket"),
-        )
-        for m in range(NEARDUP_BANDS)
-    ]
-    banded = bands[0]
-    for x in bands[1:]:
-        banded = banded.unionAll(x)
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
-        )
-        .distinct()
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _ivf_cell(F.col("embedding")).alias("cell")
     )
-    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
-    ver = (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_expr(F.col("emb_a"), F.col("emb_b")), 4).alias(
-                "cosine"
-            ),
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = np.round(mat @ mat.T, 4)
+        ri, ci = np.where(sims >= threshold)
+        keep = ids[ri] < ids[ci]
+        return pd.DataFrame(
+            {
+                "id_a": ids[ri][keep],
+                "id_b": ids[ci][keep],
+                "cosine": sims[ri, ci][keep],
+            }
         )
-        .where(F.col("cosine") >= threshold)
+
+    out = e.groupBy("cell").applyInPandas(
+        gemm, "id_a bigint, id_b bigint, cosine double"
     )
-    return ver.orderBy("id_a", "id_b")
+    return out.orderBy("id_a", "id_b")
 
 
 def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

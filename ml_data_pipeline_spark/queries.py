@@ -25,6 +25,7 @@ from ml_data_pipeline_spark.operators import (
     timeseries as TS,
 )
 from ml_data_pipeline_spark.sources.arrow_ipc import arrow_ipc_roundtrip_agg
+from ml_data_pipeline_spark.sources.avro import avro_roundtrip_agg
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -61,6 +62,8 @@ _QUERIES: dict[str, QueryFn] = {
     "json_roundtrip_agg": ENC.json_roundtrip_agg,
     "csv_infer_roundtrip": ENC.csv_infer_roundtrip,
     "arrow_ipc_roundtrip_agg": arrow_ipc_roundtrip_agg,
+    "avro_roundtrip_agg": avro_roundtrip_agg,
+    "jdbc_roundtrip_agg": ENC.jdbc_roundtrip_agg,
     "text_line_scan": ENC.text_line_scan,
     "dictionary_encode_sources": ENC.dictionary_encode_sources,
     "string_ops": ENC.string_ops,
@@ -231,6 +234,24 @@ _ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1
         ORDER BY converted
+    """,
+    "avro_roundtrip_agg": """
+        SELECT event_type,
+               COUNT(*) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS sum_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "jdbc_roundtrip_agg": """
+        SELECT event_type,
+               COUNT(*) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS sum_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
     """,
     "arrow_ipc_roundtrip_agg": """
         SELECT lang,
@@ -484,21 +505,17 @@ _ORACLES: dict[str, str] = {
             SELECT s FROM ex GROUP BY s
             HAVING COUNT(*) BETWEEN 2 AND {dedup.MAX_SHINGLE_DF}),
         exf AS (SELECT ex.doc_id, ex.s FROM ex JOIN bounded USING (s)),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b,
-               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
-                   AS n_common,
-               ROUND(len(list_intersect(sa.shingles, sb.shingles)) /
-                     len(list_distinct(list_concat(sa.shingles, sb.shingles))),
-                     4) AS jaccard
-        FROM cand
-        JOIN sh sa ON sa.doc_id = doc_a
-        JOIN sh sb ON sb.doc_id = doc_b
-        WHERE ROUND(len(list_intersect(sa.shingles, sb.shingles)) /
-                    len(list_distinct(list_concat(sa.shingles, sb.shingles))),
-                    4) >= 0.2
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM exf GROUP BY doc_id),
+        overlap AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_common,
+               ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+        FROM overlap
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
         ORDER BY doc_a, doc_b
     """,
     "minhash_signatures": f"""
@@ -578,33 +595,23 @@ _ORACLES: dict[str, str] = {
         FROM ranked WHERE rank <= 3
         ORDER BY query_id, rank
     """,
-    "cosine_neardup_pairs": f"""
-        WITH banded AS (
-            {" UNION ALL ".join(
-                "SELECT vec_id, " + str(m) + " AS band, "
-                + " + ".join(
-                    "(CASE WHEN embedding[" + str(m * similarity.NEARDUP_BAND_DIMS + i + 1)
-                    + "] > 0 THEN 1 ELSE 0 END)*" + str(2 ** i)
-                    for i in range(similarity.NEARDUP_BAND_DIMS)
-                )
-                + " AS bucket FROM embeddings"
-                for m in range(similarity.NEARDUP_BANDS)
-            )}),
-        cand AS (
-            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM banded a JOIN banded b
-              ON a.band = b.band AND a.bucket = b.bucket
-             AND a.vec_id < b.vec_id)
-        SELECT id_a, id_b,
+    "cosine_neardup_pairs": """
+        WITH cells AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                 + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                 + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS cell
+            FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                ROUND(
                  list_sum(list_transform(list_zip(a.embedding, b.embedding),
                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
                  (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
                   sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
                  4) AS cosine
-        FROM cand
-        JOIN embeddings a ON a.vec_id = id_a
-        JOIN embeddings b ON b.vec_id = id_b
+        FROM cells a JOIN cells b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
         WHERE ROUND(
                  list_sum(list_transform(list_zip(a.embedding, b.embedding),
                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /

@@ -149,6 +149,62 @@ def test_patch_salted_reduce_matches_plain(spark, tmp_path):
     _check(t2, ev_dir)
 
 
+def test_patch_with_schema_evolution(spark, tmp_path):
+    """Batch 2 adds a new column (lang) AND patches that set ONLY the
+    new column: the storage schema gains lang + _ps_lang, old files
+    scan as null, and patch overlays on the new column resolve exactly."""
+    t = _create_patch_table(spark, str(tmp_path / "tbl"))
+    d1 = str(tmp_path / "ev1")
+    change_events_df(spark, 50, 600, seed=7).write.parquet(d1)
+    t.merge_batch(spark.read.parquet(d1), batch_id=0)
+
+    ev2 = change_events_df(
+        spark, 50, 600, seed=8, extra_cols=True, seq_start=600
+    )
+    s = F.col("seq")
+    is_p = (F.col("op") == "U") & (
+        F.pmod(F.xxhash64(F.lit(8), F.lit("p2"), s), F.lit(10)) < 5
+    )
+    ev2 = (
+        ev2.withColumn("op", F.when(is_p, "P").otherwise(F.col("op")))
+        # patches set ONLY lang
+        .withColumn("tokens", F.when(is_p, F.lit(None)).otherwise(F.col("tokens")))
+        .withColumn("n_tok", F.when(is_p, F.lit(None)).otherwise(F.col("n_tok")))
+        .withColumn("source", F.when(is_p, F.lit(None)).otherwise(F.col("source")))
+    )
+    d2 = str(tmp_path / "ev2")
+    ev2.write.parquet(d2)
+    res = t.merge_batch(spark.read.parquet(d2), batch_id=1)
+    assert res["schema_evolved"]
+    assert "lang" in t.schema.fieldNames()
+
+    import pandas as pd
+
+    events = pd.concat(
+        [load_events_pandas(d1), load_events_pandas(d2)], ignore_index=True
+    )
+    want = expected_state_with_patches(events)
+    got = t.read().toPandas()
+
+    def scalars(df):
+        out = {}
+        for _, r in df.iterrows():
+            lang = r.get("lang")
+            if isinstance(lang, float) and np.isnan(lang):
+                lang = None
+            nt = r["n_tok"]
+            nt = None if nt is None or (isinstance(nt, float) and np.isnan(nt)) else int(nt)
+            out[r["doc_id"]] = (_tok(r["tokens"]), nt, lang)
+        return out
+
+    g, w = scalars(got), scalars(want)
+    assert set(g) == set(w)
+    for k in w:
+        assert g[k] == w[k], f"{k}: {g[k]} vs {w[k]}"
+    # patches on the new column actually landed
+    assert any(v[2] is not None for v in g.values())
+
+
 def test_patch_op_rejected_on_plain_table(spark, tmp_path):
     """A non-patch table quarantines op 'P' as bad_op instead of
     silently corrupting state."""
