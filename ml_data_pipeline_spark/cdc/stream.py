@@ -35,6 +35,8 @@ def run_replay(
     salt: int | None = None,
     compact_every: int | None = None,
     compaction_policy=None,
+    vacuum_every_compactions: int | None = None,
+    vacuum_keep_snapshots: int = 2,
     write_metrics: bool = True,
     collect_input_lineage: bool = False,
     stop_after_batches: int | None = None,
@@ -49,14 +51,27 @@ def run_replay(
     supersedes the blunt ``compact_every`` file-count heuristic: after
     each applied batch it selects the buckets whose delta tier warrants
     folding, and only those buckets are compacted.
+    ``vacuum_every_compactions`` bounds on-disk garbage on a long
+    replay: after every K compaction commits, files unreachable from
+    the ``vacuum_keep_snapshots`` newest snapshots are deleted and
+    older snapshot metadata expires (the retention knob — time travel
+    is traded for disk, exactly like Iceberg's expire_snapshots).
     Returns {"batches": n_applied, "skipped": n_skipped,
-    "compactions": n_compaction_commits}. Raises ``TimeoutError`` if
+    "compactions": n_compaction_commits, "vacuums": n_vacuum_runs,
+    "vacuumed_files": n_files_deleted}. Raises ``TimeoutError`` if
     the replay does not terminate within ``timeout_sec`` (a hung query
     must not masquerade as a completed one).
     """
     schema = schema or CHANGE_SCHEMA
     table = LakeTable.load(spark, table_root)
-    stats = {"batches": 0, "skipped": 0, "compactions": 0, "apply_wall_s": 0.0}
+    stats = {
+        "batches": 0,
+        "skipped": 0,
+        "compactions": 0,
+        "vacuums": 0,
+        "vacuumed_files": 0,
+        "apply_wall_s": 0.0,
+    }
 
     def handle(batch_df, batch_id: int):
         res = apply_batch(
@@ -86,6 +101,16 @@ def run_replay(
             elif compact_every and table.delta_file_count() >= compact_every:
                 table.compact()
                 stats["compactions"] += 1
+            if (
+                vacuum_every_compactions
+                and stats["compactions"] > 0
+                and stats["compactions"] % vacuum_every_compactions == 0
+                and stats["compactions"] // vacuum_every_compactions
+                > stats["vacuums"]
+            ):
+                res_v = table.vacuum(keep_snapshots=vacuum_keep_snapshots)
+                stats["vacuums"] += 1
+                stats["vacuumed_files"] += res_v["removed_files"]
         if (
             stop_after_batches is not None
             and stats["batches"] >= stop_after_batches

@@ -194,6 +194,36 @@ def write_tfrecords(path: str, payloads: list[bytes]) -> None:
             f.write(struct.pack("<I", masked_crc(p)))
 
 
+def write_tfrecords_distributed(
+    df: "DataFrame", out_dir: str, data_col: str = "data"
+) -> None:
+    """Distributed TFRecord writer: one .tfrecord file per non-empty
+    Spark partition (executor-side framing + masked CRC32C, zero
+    driver involvement) — the K-side twin of ``read_tfrecords`` and
+    the many-files sharding a TFRecord corpus needs (files are not
+    block-splittable, so file count = read parallelism).
+
+    ``df`` must carry a binary column ``data_col``; serialize rows to
+    bytes upstream (e.g. sources/avro.py record encoding).
+    """
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        payloads: list[bytes] = []
+        for pdf in batches:
+            payloads.extend(bytes(b) for b in pdf[data_col])
+        if not payloads:
+            return
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.tfrecord")
+        write_tfrecords(path, payloads)
+        yield pd.DataFrame({"path": [path], "rows": [len(payloads)]})
+
+    df.select(data_col).mapInPandas(_write, "path string, rows long").collect()
+
+
 def parse_tfrecord_bytes(
     blob: bytes, path: str = "", verify: bool = True
 ) -> list[tuple[str, int, int, bytes]]:

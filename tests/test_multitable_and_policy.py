@@ -143,6 +143,38 @@ def test_replay_with_size_tiered_policy(spark, tmp_path):
     assert_state_equal(got, want)
 
 
+def test_replay_with_vacuum_retention(spark, tmp_path):
+    """Policy-driven compaction + periodic vacuum during replay:
+    superseded files are deleted, snapshot metadata expires to the
+    retention window, and the final state stays exact."""
+    ev_dir = str(tmp_path / "events")
+    generate_change_stream(
+        spark, ev_dir, 120, 2000, n_chunks=6, seed=13, shuffle_window=150
+    )
+    t = create_docs_table(spark, str(tmp_path / "tbl"), n_buckets=4)
+    stats = run_replay(
+        spark,
+        t.root,
+        ev_dir,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        compaction_policy=SizeTieredPolicy(
+            max_delta_files=2, min_delta_base_ratio=0.25, min_delta_bytes=1
+        ),
+        vacuum_every_compactions=2,
+        vacuum_keep_snapshots=2,
+    )
+    assert stats["vacuums"] >= 1 and stats["vacuumed_files"] > 0
+    t.refresh()
+    # retention: only the newest snapshots' metadata survives each
+    # vacuum (later commits may add more on top)
+    ids = [s.snapshot_id for s in t.history()]
+    assert ids[0] > 0  # snapshot-0 expired
+    got = t.read().toPandas()
+    want = expected_state(load_events_pandas(ev_dir))
+    assert_state_equal(got, want)
+
+
 def test_parquet_writer_knobs(spark, tmp_path):
     """Table properties surface the reference's parquet writer knobs
     (writer.rs:37-56): row-group size and dictionary toggle must be
