@@ -14,6 +14,7 @@ Subcommands:
                     (availableNow replay; rerun to pick up new files)
     compact       — fold delta files into base files (optionally GC
                     tombstones below a replay watermark)
+    vacuum        — delete unreachable files / expire old snapshots
     generate      — write a deterministic synthetic change stream
     show          — print snapshot + row count
 
@@ -58,6 +59,8 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("create-table")
     c.add_argument("--table", required=True)
     c.add_argument("--buckets", type=int, default=64)
+    c.add_argument("--patch-support", action="store_true",
+                   help="accept op 'P' partial-column updates")
 
     r = sub.add_parser("replay")
     r.add_argument("--table", required=True)
@@ -67,6 +70,12 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--max-files-per-trigger", type=int, default=64)
     r.add_argument("--salt", type=int, default=None)
     r.add_argument("--compact-every", type=int, default=None)
+    r.add_argument("--policy-compact", action="store_true",
+                   help="size-tiered per-bucket compaction policy")
+    r.add_argument("--policy-max-delta-files", type=int, default=8)
+    r.add_argument("--policy-ratio", type=float, default=0.25)
+    r.add_argument("--vacuum-every-compactions", type=int, default=None)
+    r.add_argument("--vacuum-keep", type=int, default=2)
     r.add_argument("--with-lang", action="store_true",
                    help="expect the evolved v2 schema (adds lang)")
 
@@ -105,8 +114,28 @@ def main(argv: list[str] | None = None) -> int:
     from ml_data_pipeline_spark.lake.table import LakeTable
 
     if args.cmd == "create-table":
-        t = create_docs_table(spark, args.table, n_buckets=args.buckets)
-        print(json.dumps({"created": t.root, "buckets": args.buckets}))
+        if args.patch_support:
+            from ml_data_pipeline_spark.cdc.events import DOC_SCHEMA
+
+            t = LakeTable.create(
+                spark,
+                args.table,
+                DOC_SCHEMA,
+                key_col="doc_id",
+                n_buckets=args.buckets,
+                properties={"patch.enabled": "true"},
+            )
+        else:
+            t = create_docs_table(spark, args.table, n_buckets=args.buckets)
+        print(
+            json.dumps(
+                {
+                    "created": t.root,
+                    "buckets": args.buckets,
+                    "patch_support": bool(args.patch_support),
+                }
+            )
+        )
     elif args.cmd == "replay":
         schema = CHANGE_SCHEMA
         if args.with_lang:
@@ -114,6 +143,14 @@ def main(argv: list[str] | None = None) -> int:
 
             schema = T.StructType(
                 CHANGE_SCHEMA.fields + [T.StructField("lang", T.StringType())]
+            )
+        policy = None
+        if args.policy_compact:
+            from ml_data_pipeline_spark.lake.compaction import SizeTieredPolicy
+
+            policy = SizeTieredPolicy(
+                max_delta_files=args.policy_max_delta_files,
+                min_delta_base_ratio=args.policy_ratio,
             )
         stats = run_replay(
             spark,
@@ -125,6 +162,9 @@ def main(argv: list[str] | None = None) -> int:
             max_files_per_trigger=args.max_files_per_trigger,
             salt=args.salt,
             compact_every=args.compact_every,
+            compaction_policy=policy,
+            vacuum_every_compactions=args.vacuum_every_compactions,
+            vacuum_keep_snapshots=args.vacuum_keep,
         )
         print(json.dumps(stats))
     elif args.cmd == "compact":

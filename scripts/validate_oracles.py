@@ -59,8 +59,19 @@ def canon(df: pd.DataFrame):
 
 
 def main(only: list[str] | None = None):
-    spark = build_session(app_name="validate-oracles", cores=8, shuffle_partitions=8)
+    # VALIDATE_TZ=America/New_York re-runs the whole gate under a
+    # non-UTC session timezone on BOTH engines — pins that no oracle
+    # depends on the session tz (the repo invariant for timestamps).
+    tz = os.environ.get("VALIDATE_TZ")
+    spark = build_session(
+        app_name="validate-oracles",
+        cores=8,
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.session.timeZone": tz} if tz else None,
+    )
     con = duckdb.connect()
+    if tz:
+        con.sql(f"SET TimeZone='{tz}'")
     for t in TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
