@@ -96,11 +96,21 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--hot-key-fraction", type=float, default=0.0)
     g.add_argument("--dup-fraction", type=float, default=0.0)
     g.add_argument("--shuffle-window", type=int, default=0)
+    g.add_argument("--seq-start", type=int, default=0,
+                   help="LSN offset (continue an earlier stream's range)")
 
     s = sub.add_parser("show")
     s.add_argument("--table", required=True)
     s.add_argument("--as-of", type=int, default=None,
                    help="time-travel to a snapshot id")
+
+    ch = sub.add_parser("changes",
+                        help="incremental changelog since a snapshot")
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--since", type=int, required=True)
+    ch.add_argument("--out", default=None,
+                    help="write the changelog as parquet here "
+                         "(default: print counts only)")
 
     args = p.parse_args(argv)
     spark = _session(args)
@@ -184,8 +194,31 @@ def main(argv: list[str] | None = None) -> int:
             hot_key_fraction=args.hot_key_fraction,
             dup_fraction=args.dup_fraction,
             shuffle_window=args.shuffle_window,
+            seq_start=args.seq_start,
         )
         print(json.dumps({"chunks": paths}))
+    elif args.cmd == "changes":
+        t = LakeTable.load(spark, args.table)
+        ch_df = t.changes(args.since)
+        if args.out:
+            ch_df.write.mode("overwrite").parquet(args.out)
+        from pyspark.sql import functions as F
+
+        counts = {
+            r["op"]: r["n"]
+            for r in ch_df.groupBy("op").agg(F.count("*").alias("n")).collect()
+        }
+        print(
+            json.dumps(
+                {
+                    "since": args.since,
+                    "now": t.snapshot.snapshot_id,
+                    "upserts": int(counts.get("U", 0)),
+                    "deletes": int(counts.get("D", 0)),
+                    "out": args.out,
+                }
+            )
+        )
     elif args.cmd == "show":
         t = LakeTable.load(spark, args.table)
         snap = (

@@ -532,6 +532,103 @@ class LakeTable:
             return live
         return live.select(*snap.schema.fieldNames())
 
+    def lookup(self, key_value) -> DataFrame:
+        """Point lookup: scan ONLY the key's bucket (1/n_buckets of the
+        table), then filter + reduce. The bucket is recomputable from
+        the key, so no index structure is needed — this is the
+        bucketed-layout payoff (reference analog: the dictionary's
+        keyed access, string_cache.rs)."""
+        snap = self.refresh()
+        row = self.spark.createDataFrame(
+            [(key_value,)], T.StructType([snap.schema[snap.key_col]])
+        ).select(self.bucket_expr(snap=snap).alias("b"))
+        bucket = row.head()[0]
+        return self.read(buckets=[int(bucket)]).where(
+            F.col(snap.key_col) == F.lit(key_value)
+        )
+
+    def _version_expr(self, snap: Snapshot):
+        """Per-row change version: the highest event seq that shaped
+        this row's state — monotone under applied events, constant
+        under losing/no-op events (patch overlays count via _ps)."""
+        if not snap.patch_enabled:
+            return F.col(SEQ_COL)
+        parts = [F.col(SEQ_COL)] + [
+            F.coalesce(F.col(PS_PREFIX + c), F.lit(CARRIER_SEQ))
+            for c in snap.schema.fieldNames()
+            if c != snap.key_col
+        ]
+        return F.greatest(*parts) if len(parts) > 1 else parts[0]
+
+    def changes(self, since_snapshot_id: int) -> DataFrame:
+        """Incremental changes feed (Iceberg incremental-read analog):
+        the net per-key change between ``since_snapshot_id`` and the
+        current snapshot, as a changelog of (op 'U'|'D', key, payload,
+        _seq, …) rows carrying each changed key's NEW full state.
+
+        Cost is O(new data + touched buckets of the base state), never
+        O(table): only files added since the base snapshot are scanned
+        for the window, and the base state is read bucket-pruned to the
+        buckets those files touch (compaction output files are included
+        in the window scan but produce no false changes — a key's
+        change *version*, the max event seq shaping its state incl.
+        patch overlays, only moves when a new event wins). Downstream
+        training pipelines consume this instead of re-reading the
+        table.
+        """
+        snap = self.refresh()
+        base = self.snapshot_by_id(since_snapshot_id)
+        base_paths = {f.path for f in base.files}
+        added = [f for f in snap.files if f.path not in base_paths]
+        out_schema = T.StructType(
+            [T.StructField("op", T.StringType())]
+            + list(snap.storage_schema().fields)
+        )
+        if not added:
+            return self.spark.createDataFrame([], out_schema)
+        payload = [f.name for f in snap.schema.fields if f.name != snap.key_col]
+
+        def _reduce(df: DataFrame) -> DataFrame:
+            if snap.patch_enabled:
+                return self._reduce_latest_patch(df, snap.key_col, payload)
+            return self._reduce_latest(df, snap.key_col)
+
+        touched = set()
+        for f in added:
+            touched.add(f.bucket)
+        # Base state, bucket-pruned + reduced (tombstones kept — a
+        # delete followed by re-insert must read as a change). The base
+        # FILES are scanned under the CURRENT snapshot's storage schema
+        # (snap.schemas keeps every historical fingerprint), so both
+        # sides align even across mid-window schema evolution.
+        base_files = [f for f in base.files if f.bucket in touched]
+        base_state = _reduce(self.scan_files(files=base_files, snap=snap))
+        win = self.scan_files(files=added, snap=snap)
+        new_state = _reduce(base_state.unionByName(win))
+        ver = self._version_expr(snap)
+        base_vers = base_state.select(
+            F.col(snap.key_col),
+            ver.alias("_base_ver"),
+            F.col(DELETED_COL).alias("_base_del"),
+        )
+        base_absent = F.col("_base_ver").isNull() | F.col("_base_del")
+        changed = (
+            new_state.join(base_vers, snap.key_col, "left")
+            .where(
+                F.col("_base_ver").isNull() | (ver > F.col("_base_ver"))
+            )
+            # a key absent at the base (never existed, or tombstoned)
+            # that is still/again deleted now is not a net change
+            .where(~(F.col(DELETED_COL) & base_absent))
+            .drop("_base_ver", "_base_del")
+        )
+        return changed.select(
+            F.when(F.col(DELETED_COL), F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            *[F.col(c) for c in win.columns],
+        )
+
     # ---------------------------------------------------------------- merge
 
     def already_applied(self, stream_id: str, batch_id: int) -> bool:
