@@ -180,6 +180,88 @@ def knn_classify(
     )
 
 
+def kmeans_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 8,
+    iters: int = 5,
+) -> tuple[list[list[float]], DataFrame]:
+    """Distributed Lloyd's k-means over the embeddings — the trained
+    coarse quantizer that replaces `_ivf_cell`'s sign heuristic in a
+    production IVF index.
+
+    Spark shape per iteration: centroids are tiny model state (k×d
+    floats) held on the driver and inlined as literals; assignment is
+    one scan (argmin over k fold-expressed distances, whole-stage
+    codegen'd); the update is posexplode → groupBy(cluster, dim) → avg
+    — a partially-aggregable shuffle of k·d cells, NOT a shuffle of
+    the vectors. Deterministic: init = the first k vectors by vec_id,
+    ties broken by lowest cluster index. At 10^9 vectors each
+    iteration is one scan + one tiny agg — the textbook distributed
+    Lloyd.
+
+    Returns (centroids, assignments DataFrame(vec_id, cluster, dist2)).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = (
+        e.orderBy("vec_id").limit(k).select("embedding").collect()
+    )  # k rows — model state, not data
+    centroids = [[float(x) for x in r["embedding"]] for r in init]
+
+    def _dist2(c: list[float]):
+        lit = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                lit,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    assigned = None
+    for _ in range(iters):
+        dists = F.array(*[_dist2(c) for c in centroids])
+        assigned = e.select(
+            "vec_id",
+            "embedding",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cluster"),
+            F.array_min(dists).alias("dist2"),
+        )
+        cells = (
+            assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]  # empty clusters keep position
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in cells:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+        for ci, dims in by_cluster.items():
+            new_c[ci] = [dims[j] for j in sorted(dims)]
+        centroids = new_c
+    return centroids, assigned
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster summary of the trained quantizer (no SQL oracle — an
+    iterative algorithm; correctness is pytest-checked against an
+    independent numpy Lloyd on the same init)."""
+    _, assigned = kmeans_fit(spark, sf_dir, k=8, iters=5)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("dist2"), 2).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
 IVF_DIMS = 4  # sign-quantized dims → 16 coarse cells
 IVF_QUERIES = [0, 1, 2, 3, 4]
 

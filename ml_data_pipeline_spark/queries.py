@@ -80,6 +80,10 @@ _QUERIES: dict[str, QueryFn] = {
     "cosine_neardup_pairs": similarity.cosine_neardup_pairs,
     "knn_classify": similarity.knn_classify,
     "vector_norm_stats": similarity.vector_norm_stats,
+    # iterative algorithm — deliberately NO SQL oracle (driver records
+    # the rows-only check); correctness is pytest-pinned against an
+    # independent numpy Lloyd (tests/test_kmeans.py)
+    "kmeans_clusters": similarity.kmeans_clusters,
     # text
     "token_count_stats": TX.token_count_stats,
     "quality_scores": TX.quality_scores,
