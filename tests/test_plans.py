@@ -52,6 +52,20 @@ def test_dedup_queries_stay_jvm_side(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
 
 
+def test_similarity_queries_stay_jvm_side(spark, sf_dir):
+    """knn/ann are pure expression plans; cosine_neardup's ONLY Python
+    node is the Arrow-batched per-cell GEMM (FlatMapGroupsInPandas) —
+    never row-at-a-time BatchEvalPython."""
+    from ml_data_pipeline_spark.operators import similarity
+
+    for fn in (similarity.knn_classify, similarity.ann_topk_cosine):
+        plan = _plan(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+    plan = _plan(similarity.cosine_neardup_pairs(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan  # Arrow cogroup GEMM
+    assert "BatchEvalPython" not in plan
+
+
 def test_latest_event_is_partial_aggregable(spark, sf_dir):
     # the max(struct) reduction must show a partial_max before the
     # exchange (map-side combine — the skew defense)
