@@ -20,7 +20,6 @@ many-files sharding doesn't need).
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import struct
