@@ -233,22 +233,31 @@ def lag_prev_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fill_forward_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward-fill over a gapped series (reference FillMethod::Forward,
-    ml-data-readers/src/timeseries.rs:173-184): value is observed only
-    on 'purchase' events; carry the last observation forward per user."""
+    """Forward- AND backward-fill over a gapped series (reference
+    FillMethod::Forward/Backward, ml-data-readers/src/timeseries.rs:
+    173-184): value is observed only on 'purchase' events; carry the
+    last observation forward and the next observation backward per
+    user. One window spec, two frames — a single shuffle serves both
+    directions."""
     e = load_table(spark, sf_dir, "events")
     gapped = e.withColumn(
         "v", F.when(F.col("event_type") == "purchase", F.col("value"))
     )
-    w = (
+    wf = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
     return gapped.select(
         "user_id",
         "event_id",
-        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        F.last("v", ignorenulls=True).over(wf).alias("filled_value"),
+        F.first("v", ignorenulls=True).over(wb).alias("bfilled_value"),
     )
 
 

@@ -180,6 +180,16 @@ def knn_classify(
     )
 
 
+KM_SCALE = 10**6  # fixed-point quantization: 6 decimal digits
+
+
+def _rha_div(s: int, n: int) -> int:
+    """Round-half-away-from-zero integer division s/n (n > 0), exact."""
+    if s >= 0:
+        return (2 * s + n) // (2 * n)
+    return -((-2 * s + n) // (2 * n))
+
+
 def kmeans_fit(
     spark: SparkSession,
     sf_dir: str,
@@ -191,32 +201,41 @@ def kmeans_fit(
     production IVF index.
 
     Spark shape per iteration: centroids are tiny model state (k×d
-    floats) held on the driver and inlined as literals; assignment is
+    values) held on the driver and inlined as literals; assignment is
     one scan (argmin over k fold-expressed distances, whole-stage
-    codegen'd); the update is posexplode → groupBy(cluster, dim) → avg
-    — a partially-aggregable shuffle of k·d cells, NOT a shuffle of
-    the vectors. Deterministic: init = the first k vectors by vec_id,
-    ties broken by lowest cluster index. At 10^9 vectors each
-    iteration is one scan + one tiny agg — the textbook distributed
-    Lloyd.
+    codegen'd); the update is posexplode → groupBy(cluster, dim) →
+    (sum, count) — a partially-aggregable shuffle of k·d cells, NOT a
+    shuffle of the vectors. Deterministic AND cross-engine exact: all
+    arithmetic is fixed-point integer (embeddings quantized ×10^6;
+    dist² is an exact bigint; the centroid update is a
+    round-half-away-from-zero integer mean), so the DuckDB oracle —
+    the same iterations unrolled as CTEs — reproduces every
+    assignment and centroid bit-for-bit. Init = the first k vectors
+    by vec_id; argmin ties break to the lowest cluster index. At 10^9
+    vectors each iteration is one scan + one tiny agg — the textbook
+    distributed Lloyd.
 
-    Returns (centroids, assignments DataFrame(vec_id, cluster, dist2)).
+    Returns (centroids as floats, assignments DataFrame(vec_id,
+    cluster, dist2)) where dist2 is the exact integer distance scaled
+    by 10^12.
     """
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * KM_SCALE, 0).cast("bigint"),
+        ).alias("ev"),
+    )
     init = (
-        e.orderBy("vec_id").limit(k).select("embedding").collect()
+        e.orderBy("vec_id").limit(k).select("ev").collect()
     )  # k rows — model state, not data
-    centroids = [[float(x) for x in r["embedding"]] for r in init]
+    centroids = [[int(x) for x in r["ev"]] for r in init]
 
-    def _dist2(c: list[float]):
-        lit = F.array(*[F.lit(x) for x in c])
+    def _dist2(c: list[int]):
+        lit = F.array(*[F.lit(int(x)).cast("bigint") for x in c])
         return F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                lit,
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
+            F.zip_with(F.col("ev"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
             lambda acc, v: acc + v,
         )
 
@@ -225,38 +244,44 @@ def kmeans_fit(
         dists = F.array(*[_dist2(c) for c in centroids])
         assigned = e.select(
             "vec_id",
-            "embedding",
+            "ev",
             (F.array_position(dists, F.array_min(dists)) - 1)
             .cast("int")
             .alias("cluster"),
             F.array_min(dists).alias("dist2"),
         )
         cells = (
-            assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
+            assigned.select("cluster", F.posexplode("ev").alias("dim", "v"))
             .groupBy("cluster", "dim")
-            .agg(F.avg("v").alias("m"))
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
         new_c = [list(c) for c in centroids]  # empty clusters keep position
-        by_cluster: dict[int, dict[int, float]] = {}
+        by_cluster: dict[int, dict[int, int]] = {}
         for r in cells:
-            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = _rha_div(
+                int(r["s"]), int(r["n"])
+            )
         for ci, dims in by_cluster.items():
             new_c[ci] = [dims[j] for j in sorted(dims)]
         centroids = new_c
-    return centroids, assigned
+    cent_f = [[c / KM_SCALE for c in row] for row in centroids]
+    return cent_f, assigned
 
 
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster summary of the trained quantizer (no SQL oracle — an
-    iterative algorithm; correctness is pytest-checked against an
-    independent numpy Lloyd on the same init)."""
+    """Cluster summary of the trained quantizer. Exact-oracle-backed:
+    the integer dist² values sum exactly (bigint), and only the final
+    inertia converts to double (deterministic nearest-double + one
+    IEEE division + identical ROUND on both engines)."""
     _, assigned = kmeans_fit(spark, sf_dir, k=8, iters=5)
     return (
         assigned.groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.sum("dist2"), 2).alias("inertia"),
+            F.round(
+                F.sum("dist2").cast("double") / F.lit(float(KM_SCALE) ** 2), 2
+            ).alias("inertia"),
         )
         .orderBy("cluster")
     )

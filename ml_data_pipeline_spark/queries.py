@@ -52,7 +52,6 @@ _QUERIES: dict[str, QueryFn] = {
     "cube_order_stats": R.cube_order_stats,
     "limit_offset_page": R.limit_offset_page,
     "hash_sample_customers": R.hash_sample_customers,
-    "backward_fill_values": R.backward_fill_values,
     "interpolate_linear_values": R.interpolate_linear_values,
     # source/sink/encoding parity
     "asof_last_purchase": TS.asof_last_purchase,
@@ -80,9 +79,9 @@ _QUERIES: dict[str, QueryFn] = {
     "cosine_neardup_pairs": similarity.cosine_neardup_pairs,
     "knn_classify": similarity.knn_classify,
     "vector_norm_stats": similarity.vector_norm_stats,
-    # iterative algorithm — deliberately NO SQL oracle (driver records
-    # the rows-only check); correctness is pytest-pinned against an
-    # independent numpy Lloyd (tests/test_kmeans.py)
+    # iterative algorithm, oracle-exact since round 3: fixed-point
+    # integer Lloyd unrolled as a 5-iteration DuckDB CTE (also
+    # pytest-pinned against an independent numpy Lloyd)
     "kmeans_clusters": similarity.kmeans_clusters,
     # text
     "token_count_stats": TX.token_count_stats,
@@ -134,7 +133,70 @@ _SH_CTE = f"""
         sig AS (SELECT doc_id, {_SH_BANDS} FROM votes)
 """
 
+def _kmeans_sql(k: int, iters: int) -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs, bit-for-bit equal to
+    `similarity.kmeans_fit`: embeddings quantized to bigints (×10^6,
+    round-half-away), dist² exact integer sums, argmin ties to the
+    lowest cluster, centroid update = round-half-away integer mean
+    via `(2s+n) // 2n` with explicit sign handling, empty clusters
+    keep their previous centroid. Only the final inertia touches
+    doubles (exact-int → nearest-double → one IEEE division → ROUND,
+    identical in both engines)."""
+    quant = (
+        "list_transform(embedding, x -> "
+        "CAST(round(CAST(x AS DOUBLE)*1000000.0, 0) AS BIGINT))"
+    )
+    sql = f"""
+        WITH eq AS (
+            SELECT vec_id, {quant} AS ev FROM embeddings),
+        c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS cluster,
+                   ev AS cv
+            FROM (SELECT vec_id, ev FROM eq ORDER BY vec_id LIMIT {k}))"""
+    for i in range(1, iters + 1):
+        sql += f""",
+        a{i} AS (
+            SELECT vec_id, ev, cluster, dist2 FROM (
+                SELECT vec_id, ev, cluster, dist2,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist2, cluster) AS rk
+                FROM (
+                    SELECT q.vec_id, q.ev, c.cluster,
+                           list_sum(list_transform(
+                               generate_series(1, len(q.ev)),
+                               j -> (q.ev[j]-c.cv[j])*(q.ev[j]-c.cv[j])
+                           )) AS dist2
+                    FROM eq q CROSS JOIN c{i - 1} c))
+            WHERE rk = 1)"""
+        if i < iters:
+            sql += f""",
+        c{i} AS (
+            SELECT p.cluster, COALESCE(u.cv, p.cv) AS cv
+            FROM c{i - 1} p LEFT JOIN (
+                SELECT cluster, list(m ORDER BY dim) AS cv FROM (
+                    SELECT cluster, dim,
+                           CAST(CASE WHEN s >= 0 THEN (2*s+n)//(2*n)
+                                ELSE -((-2*s+n)//(2*n)) END AS BIGINT) AS m
+                    FROM (
+                        SELECT cluster, j AS dim,
+                               SUM(ev[j]) AS s, COUNT(*) AS n
+                        FROM (SELECT cluster, ev,
+                                     unnest(generate_series(1, len(ev))) AS j
+                              FROM a{i})
+                        GROUP BY cluster, j))
+                GROUP BY cluster) u ON p.cluster = u.cluster)"""
+    sql += f"""
+        SELECT cluster, COUNT(*) AS n_vecs,
+               round(CAST(SUM(dist2) AS DOUBLE)/1000000000000.0, 2)
+                   AS inertia
+        FROM a{iters} GROUP BY cluster ORDER BY cluster
+    """
+    return sql
+
+
 _ORACLES: dict[str, str] = {
+    "kmeans_clusters": _kmeans_sql(k=8, iters=5),
     "cube_order_stats": """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
         FROM orders
@@ -153,16 +215,6 @@ _ORACLES: dict[str, str] = {
         WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0','1')
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
-    """,
-    "backward_fill_values": """
-        SELECT user_id, event_id,
-               FIRST_VALUE(v IGNORE NULLS)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-                   AS bfilled_value
-        FROM (SELECT user_id, event_id, ts,
-                     CASE WHEN event_type = 'purchase' THEN value END AS v
-              FROM events)
     """,
     "interpolate_linear_values": """
         WITH g AS (
@@ -437,7 +489,11 @@ _ORACLES: dict[str, str] = {
                LAST_VALUE(v IGNORE NULLS)
                    OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS filled_value
+                   AS filled_value,
+               FIRST_VALUE(v IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS bfilled_value
         FROM (SELECT user_id, event_id, ts,
                      CASE WHEN event_type = 'purchase' THEN value END AS v
               FROM events)

@@ -1,29 +1,52 @@
-"""Distributed Lloyd's k-means vs an independent numpy implementation."""
+"""Distributed Lloyd's k-means vs an independent numpy implementation.
+
+Since round 3 `kmeans_fit` runs in exact fixed-point integer
+arithmetic (embeddings ×10^6, integer dist², round-half-away integer
+centroid means) so the DuckDB oracle can reproduce it bit-for-bit.
+This reference mirrors that spec independently (numpy + Python ints)
+— agreement is therefore EXACT, not tolerance-based.
+"""
 
 from __future__ import annotations
 
 import numpy as np
 
-from ml_data_pipeline_spark.operators.similarity import kmeans_fit
+from ml_data_pipeline_spark.operators.similarity import KM_SCALE, kmeans_fit
 from ml_data_pipeline_spark.sources.tables import load_table
 
 
-def _numpy_lloyd(mat: np.ndarray, k: int, iters: int) -> tuple:
+def _numpy_lloyd(mat_f: np.ndarray, k: int, iters: int) -> tuple:
     """Same convention as kmeans_fit: the returned assignment/inertia
     come from the LAST in-loop assignment (pre-final-update distances);
-    centroids are post-update."""
-    cent = mat[:k].astype(np.float64).copy()
+    centroids are post-update. All math in exact integers (object
+    dtype → Python ints, no int64 overflow ambiguity)."""
+    def _q(x: float) -> int:  # round-half-away, matching Spark ROUND
+        v = float(x) * KM_SCALE
+        return int(np.floor(v + 0.5)) if v >= 0 else -int(np.floor(-v + 0.5))
+
+    mat = np.vectorize(_q)(mat_f.astype(np.float64)).astype(object)
+    cent = mat[:k].copy()
     assign = None
-    inertia = None
+    d2min = None
     for _ in range(iters):
         d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)  # ties → lowest index, same as Spark
-        inertia = d2.min(axis=1).sum()
+        d2min = d2.min(axis=1)
         for j in range(k):
             sel = mat[assign == j]
             if len(sel):
-                cent[j] = sel.mean(axis=0)
-    return cent, assign, inertia
+                s = sel.sum(axis=0)
+                n = len(sel)
+                cent[j] = np.array(
+                    [
+                        (2 * int(si) + n) // (2 * n)
+                        if si >= 0
+                        else -((-2 * int(si) + n) // (2 * n))
+                        for si in s
+                    ],
+                    dtype=object,
+                )
+    return cent, assign, d2min
 
 
 def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
@@ -36,26 +59,26 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
         .collect()
     )
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    ncent, nassign, ninertia = _numpy_lloyd(mat, k, iters)
+    ncent, nassign, nd2 = _numpy_lloyd(mat, k, iters)
 
-    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    got = {r["vec_id"]: (r["cluster"], r["dist2"]) for r in assigned.collect()}
     ids = [r["vec_id"] for r in rows]
-    mismatches = sum(1 for i, vid in enumerate(ids) if got[vid] != nassign[i])
-    # float-sum ordering differs between engines; only boundary points
-    # can flip — require near-total agreement
-    assert mismatches <= max(1, len(ids) // 100), mismatches
+    for i, vid in enumerate(ids):
+        assert got[vid][0] == nassign[i], (vid, got[vid], nassign[i])
+        assert got[vid][1] == nd2[i], (vid, got[vid], nd2[i])
 
-    cent_arr = np.array(cent)
-    assert np.allclose(cent_arr, ncent, rtol=1e-6, atol=1e-8)
-
-    inertia = sum(r["dist2"] for r in assigned.collect())
-    assert abs(inertia - ninertia) / ninertia < 1e-6
+    # centroids exact in the quantized domain
+    cent_q = [[int(round(c * KM_SCALE)) for c in row] for row in cent]
+    for j in range(k):
+        assert cent_q[j] == list(ncent[j]), j
 
     # Lloyd's guarantee: inertia non-increasing across iterations
+    # (tiny slack: the integer-rounded centroid is within half a
+    # fixed-point ulp of the true minimizer)
     prev = None
     for it in range(1, iters + 1):
         _, a = kmeans_fit(spark, sf_dir, k=k, iters=it)
         cur = sum(r["dist2"] for r in a.collect())
         if prev is not None:
-            assert cur <= prev * (1 + 1e-9)
+            assert cur <= prev * (1 + 1e-8)
         prev = cur
