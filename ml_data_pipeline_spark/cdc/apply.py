@@ -105,6 +105,88 @@ def apply_batch(
     return res
 
 
+# Fold the advisory tables whenever they accumulate this many small
+# per-batch files. A 10^10-event replay is ~10^6 micro-batches; without
+# folding, metrics/ and lineage/ would hold a million 1-row parquet
+# files (driver listing + scan death). With folding the file count is
+# bounded at ADVISORY_FOLD_AT regardless of replay length.
+ADVISORY_FOLD_AT = 16
+
+_METRICS_PA = None
+_LINEAGE_PA = None
+
+
+def _pa_schemas():
+    global _METRICS_PA, _LINEAGE_PA
+    import pyarrow as pa
+
+    if _METRICS_PA is None:
+        _METRICS_PA = pa.schema(
+            [
+                ("stream_id", pa.string()),
+                ("batch_id", pa.int64()),
+                ("snapshot_id", pa.int64()),
+                ("skipped", pa.bool_()),
+                ("upsert_rows", pa.int64()),
+                ("n_buckets_touched", pa.int32()),
+                ("schema_evolved", pa.bool_()),
+                ("wall_ms", pa.float64()),
+                ("committed_at", pa.timestamp("us", tz="UTC")),
+            ]
+        )
+        _LINEAGE_PA = pa.schema(
+            [
+                ("stream_id", pa.string()),
+                ("batch_id", pa.int64()),
+                ("snapshot_id", pa.int64()),
+                ("input_file", pa.string()),
+                ("bucket", pa.int32()),
+                ("output_file", pa.string()),
+                ("rows", pa.int64()),
+            ]
+        )
+    return _METRICS_PA, _LINEAGE_PA
+
+
+def _advisory_append(dir_path: str, batch) -> None:
+    """Driver-side append of a tiny advisory row-batch + bounded fold.
+
+    These are per-batch bookkeeping rows: launching a Spark job to
+    write one row would cost ~100 ms of driver/scheduler time per
+    micro-batch (pure Amdahl overhead), so they are written directly
+    with pyarrow. When the directory reaches ADVISORY_FOLD_AT files,
+    they are folded into one (single-writer tables — the streaming
+    driver — so the fold races no other writer; a concurrent advisory
+    READ during the fold may transiently double-count, which is the
+    documented trade for not gating the data path).
+    """
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dir_path, exist_ok=True)
+    pq.write_table(
+        batch, os.path.join(dir_path, f"part-{_uuid.uuid4().hex}.parquet")
+    )
+    files = sorted(
+        f for f in os.listdir(dir_path) if f.endswith(".parquet")
+    )
+    if len(files) >= ADVISORY_FOLD_AT:
+        tables = [
+            pq.read_table(os.path.join(dir_path, f), schema=batch.schema)
+            for f in files
+        ]
+        folded = pa.concat_tables(tables)
+        tmp = os.path.join(dir_path, f".fold-{_uuid.uuid4().hex}.tmp")
+        pq.write_table(folded, tmp)
+        os.replace(
+            tmp, os.path.join(dir_path, f"fold-{_uuid.uuid4().hex}.parquet")
+        )
+        for f in files:
+            os.remove(os.path.join(dir_path, f))
+
+
 def _record(table: LakeTable, res: dict) -> None:
     """Append metrics + per-partition lineage rows (advisory tables).
 
@@ -112,26 +194,27 @@ def _record(table: LakeTable, res: dict) -> None:
     metrics row, never a data commit — metrics must not gate
     exactly-once.
     """
-    spark = table.spark
     import datetime
 
+    import pyarrow as pa
+
+    mschema, lschema = _pa_schemas()
     now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
-    mrow = [
-        (
-            res["stream_id"],
-            res.get("batch_id"),
-            res.get("snapshot_id"),
-            bool(res.get("skipped")),
-            res.get("upsert_rows"),
-            len(res.get("touched_buckets") or []),
-            bool(res.get("schema_evolved")),
-            float(res.get("wall_ms", 0.0)),
-            now,
-        )
-    ]
-    spark.createDataFrame(mrow, METRICS_SCHEMA).coalesce(1).write.mode(
-        "append"
-    ).parquet(os.path.join(table.root, "metrics"))
+    mrow = {
+        "stream_id": [res["stream_id"]],
+        "batch_id": [res.get("batch_id")],
+        "snapshot_id": [res.get("snapshot_id")],
+        "skipped": [bool(res.get("skipped"))],
+        "upsert_rows": [res.get("upsert_rows")],
+        "n_buckets_touched": [len(res.get("touched_buckets") or [])],
+        "schema_evolved": [bool(res.get("schema_evolved"))],
+        "wall_ms": [float(res.get("wall_ms", 0.0))],
+        "committed_at": [now],
+    }
+    _advisory_append(
+        os.path.join(table.root, "metrics"),
+        pa.Table.from_pydict(mrow, schema=mschema),
+    )
 
     if res.get("skipped"):
         return
@@ -154,9 +237,12 @@ def _record(table: LakeTable, res: dict) -> None:
                 )
             )
     if lrows:
-        spark.createDataFrame(lrows, LINEAGE_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(os.path.join(table.root, "lineage"))
+        cols = list(zip(*lrows))
+        ltab = pa.Table.from_pydict(
+            {name: list(col) for name, col in zip(lschema.names, cols)},
+            schema=lschema,
+        )
+        _advisory_append(os.path.join(table.root, "lineage"), ltab)
 
 
 def read_metrics(table: LakeTable) -> DataFrame:

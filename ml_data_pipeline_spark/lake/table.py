@@ -79,9 +79,13 @@ class FileEntry:
     rows: int
     schema_fp: str  # fingerprint key into Snapshot.schemas
     bytes: int = 0  # on-disk size (drives size-tiered compaction)
+    # Serialized key-membership bloom (lake.bloom) built executor-side
+    # at write time; lets a point lookup skip files that provably lack
+    # the key. Optional — absent on pre-round-3 files (never pruned).
+    key_bloom: str | None = None
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "path": self.path,
             "bucket": self.bucket,
             "kind": self.kind,
@@ -89,6 +93,9 @@ class FileEntry:
             "schema_fp": self.schema_fp,
             "bytes": self.bytes,
         }
+        if self.key_bloom:
+            d["key_bloom"] = self.key_bloom
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
@@ -99,6 +106,7 @@ class FileEntry:
             d["rows"],
             d["schema_fp"],
             d.get("bytes", 0),
+            d.get("key_bloom"),
         )
 
 
@@ -334,29 +342,52 @@ class LakeTable:
             for name in files:
                 if name.endswith(".parquet"):
                     found.append((os.path.join(dirpath, name), bucket))
+        if not found:
+            return []
 
-        # Footer reads in a thread pool: serial driver-side metadata IO
-        # is exactly the kind of per-commit fixed cost that Amdahl-caps
-        # a micro-batch pipeline.
-        from concurrent.futures import ThreadPoolExecutor
+        # Manifest job: rows + bytes + per-file key bloom, computed ON
+        # THE EXECUTORS (one tiny Spark job over the file list; page
+        # cache is warm from the write). The driver collects only
+        # (path, rows, bytes, bloom) tuples — no per-commit O(buckets)
+        # driver-side footer IO (at 4,096 buckets that serial metadata
+        # scan is exactly the fixed cost that Amdahl-caps a micro-batch
+        # pipeline, and on an object store it is 4,096 round-trips).
+        key_col = snap.key_col
+        fdf = self.spark.createDataFrame(
+            found, "path string, bucket int"
+        ).repartition(min(len(found), 32))
 
-        import pyarrow.parquet as pq
+        def _meta(batches):
+            import pyarrow.parquet as pq
 
-        def _rows(path: str) -> int:
-            return pq.ParquetFile(path).metadata.num_rows
+            from ml_data_pipeline_spark.lake.bloom import bloom_build
 
-        with ThreadPoolExecutor(max_workers=16) as ex:
-            counts = list(ex.map(_rows, (p for p, _ in found)))
+            for pdf in batches:
+                pdf = pdf.copy()
+                rows_, bytes_, blooms = [], [], []
+                for p in pdf["path"]:
+                    pf = pq.ParquetFile(p)
+                    rows_.append(pf.metadata.num_rows)
+                    bytes_.append(os.path.getsize(p))
+                    keys = pf.read(columns=[key_col]).column(0).to_pylist()
+                    blooms.append(bloom_build(keys))
+                pdf["rows"], pdf["bytes"], pdf["bloom"] = rows_, bytes_, blooms
+                yield pdf
+
+        manifest = fdf.mapInPandas(
+            _meta, "path string, bucket int, rows long, bytes long, bloom string"
+        ).collect()
         return [
             FileEntry(
-                path=os.path.relpath(p, self.root),
-                bucket=b,
+                path=os.path.relpath(r["path"], self.root),
+                bucket=int(r["bucket"]),
                 kind=kind,
-                rows=r,
+                rows=int(r["rows"]),
                 schema_fp=fp,
-                bytes=os.path.getsize(p),
+                bytes=int(r["bytes"]),
+                key_bloom=r["bloom"],
             )
-            for (p, b), r in zip(found, counts)
+            for r in manifest
         ]
 
     # ----------------------------------------------------------------- read
@@ -532,20 +563,48 @@ class LakeTable:
             return live
         return live.select(*snap.schema.fieldNames())
 
+    def lookup_files(self, key_value, snap: Snapshot | None = None) -> list[FileEntry]:
+        """The files a point lookup must read: the key's bucket
+        (computed DRIVER-SIDE via the ported XXH64 — no Spark job
+        before the read), bloom-pruned to the files that might contain
+        the key. Sound: blooms have no false negatives, so the
+        max-seq reduce over the surviving files is exact."""
+        from ml_data_pipeline_spark.lake.bloom import (
+            bloom_might_contain,
+            bucket_of,
+        )
+
+        snap = snap or self.snapshot
+        bucket = bucket_of(key_value, snap.n_buckets)
+        return [
+            f
+            for f in snap.files
+            if f.bucket == bucket
+            and (
+                not f.key_bloom or bloom_might_contain(f.key_bloom, key_value)
+            )
+        ]
+
     def lookup(self, key_value) -> DataFrame:
-        """Point lookup: scan ONLY the key's bucket (1/n_buckets of the
-        table), then filter + reduce. The bucket is recomputable from
-        the key, so no index structure is needed — this is the
-        bucketed-layout payoff (reference analog: the dictionary's
-        keyed access, string_cache.rs)."""
+        """Point lookup: scan ONLY the bloom-surviving files of the
+        key's bucket (~1 file after compaction), then filter + reduce.
+        The bucket is recomputable from the key (driver-side XXH64,
+        parity-pinned against F.xxhash64) so no index structure and no
+        pre-read Spark job is needed — this is the bucketed-layout
+        payoff (reference analog: the dictionary's keyed access,
+        string_cache.rs; bloom analog: parquet/writer.rs:37-41)."""
         snap = self.refresh()
-        row = self.spark.createDataFrame(
-            [(key_value,)], T.StructType([snap.schema[snap.key_col]])
-        ).select(self.bucket_expr(snap=snap).alias("b"))
-        bucket = row.head()[0]
-        return self.read(buckets=[int(bucket)]).where(
+        cand = self.lookup_files(key_value, snap=snap)
+        raw = self.scan_files(files=cand, snap=snap).where(
             F.col(snap.key_col) == F.lit(key_value)
         )
+        if snap.patch_enabled:
+            red = self._reduce_latest_patch(
+                raw, snap.key_col, snap.payload_cols()
+            )
+        else:
+            red = self._reduce_latest(raw, snap.key_col)
+        return red.where(~F.col(DELETED_COL)).select(*snap.schema.fieldNames())
 
     def _version_expr(self, snap: Snapshot):
         """Per-row change version: the highest event seq that shaped
@@ -575,6 +634,11 @@ class LakeTable:
         patch overlays, only moves when a new event wins). Downstream
         training pipelines consume this instead of re-reading the
         table.
+
+        Correctness precondition: no ``compact(gc_before_seq=...)``
+        inside the window may have GC'd a tombstone this feed hasn't
+        delivered yet (see ``compact``'s contract) — otherwise the net
+        delete is unobservable from the file diff.
         """
         snap = self.refresh()
         base = self.snapshot_by_id(since_snapshot_id)
@@ -1002,7 +1066,17 @@ class LakeTable:
         buckets: Sequence[int] | None = None,
         gc_before_seq: int | None = None,
     ) -> dict:
-        """Fold delta files into base files (optionally GC old tombstones)."""
+        """Fold delta files into base files (optionally GC old tombstones).
+
+        ``gc_before_seq`` CONTRACT: it must stay at-or-below the
+        oldest snapshot any ``changes()`` consumer still reads from.
+        A tombstone GC'd inside a consumer's unread window makes the
+        net delete invisible to that consumer (the key silently
+        vanishes instead of emitting a 'D' row). The built-in replay
+        path never passes ``gc_before_seq``; if you wire it up, gate
+        it on the minimum consumer cursor exactly like Iceberg gates
+        snapshot expiry on incremental-read consumers.
+        """
         snap = self.refresh()  # never compact from a stale snapshot
         if buckets is None:
             buckets = sorted({f.bucket for f in snap.files if f.kind == "delta"})

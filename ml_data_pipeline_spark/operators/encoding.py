@@ -79,23 +79,35 @@ def text_line_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         - 1
     ) % N_TEXT_BUCKETS
+    # Each line carries its own offset key (doc_id + unit separator):
+    # line numbers are then derivable from line CONTENT, not from read
+    # order — a bucket file larger than maxPartitionBytes splits into
+    # several read partitions whose packing does not follow file
+    # order, so ordering by monotonically_increasing_id silently
+    # misnumbers at scale. Real line readers track offsets the same
+    # way (byte offset per record, not partition arrival order).
+    sep = "\x1f"
     (
-        d.select(bucket.cast("int").alias("bucket"), "doc_id", "text")
-        # one shuffle keyed by bucket → one file per bucket directory,
-        # doc_id-sorted within it (write order = sorted order)
+        d.select(
+            bucket.cast("int").alias("bucket"),
+            F.concat(F.col("doc_id").cast("string"), F.lit(sep), F.col("text")).alias(
+                "value"
+            ),
+        )
+        # one shuffle keyed by bucket → one file per bucket directory
         .repartition(F.col("bucket"))
-        .sortWithinPartitions("doc_id")
-        .select("bucket", "text")
+        .select("bucket", "value")
         .write.partitionBy("bucket")
         .mode("overwrite")
         .text(out)
     )
     lines = spark.read.text(out)  # partition discovery restores bucket
-    w = Window.partitionBy("bucket").orderBy(F.monotonically_increasing_id())
+    key = F.substring_index(F.col("value"), sep, 1)
+    w = Window.partitionBy("bucket").orderBy(key.cast("long"))
     numbered = lines.select(
         F.col("bucket").cast("int").alias("bucket"),
         (F.row_number().over(w) - 1).alias("line_number"),
-        F.length("value").alias("line_len"),
+        (F.length("value") - F.length(key) - 1).alias("line_len"),
     )
     return numbered.orderBy("bucket", "line_number")
 
@@ -224,19 +236,21 @@ def infer_csv_schema(
     raw = spark.read.option("header", True).csv(path)
     sample = raw.limit(sample_rows).collect()
 
+    # Validate with strict regexes, NOT Python int()/float(): the
+    # Python constructors accept forms Spark's typed CSV parser does
+    # not ('1_0', 'nan', 'inf', '+5', ' 7 ') — voting a column
+    # Long/Double on such samples would make the subsequent typed read
+    # return silent nulls for them.
+    import re
+
+    _INT_RE = re.compile(r"^-?\d+$")
+    _FLOAT_RE = re.compile(r"^-?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
+
     def _is_int(v: str) -> bool:
-        try:
-            int(v)
-            return True
-        except ValueError:
-            return False
+        return bool(_INT_RE.match(v)) and -(2**63) <= int(v) < 2**63
 
     def _is_float(v: str) -> bool:
-        try:
-            float(v)
-            return True
-        except ValueError:
-            return False
+        return bool(_FLOAT_RE.match(v))
 
     fields = []
     for col in raw.columns:

@@ -44,6 +44,7 @@ def write_ipc(df: DataFrame, out_dir: str) -> list[tuple[str, int]]:
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow as pa
+        from pyspark import TaskContext
 
         tables = [
             pa.Table.from_pandas(pdf, preserve_index=False)
@@ -53,10 +54,18 @@ def write_ipc(df: DataFrame, out_dir: str) -> list[tuple[str, int]]:
         if not tables:
             return
         t = pa.concat_tables(tables)
-        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.arrow")
-        with pa.OSFile(path, "wb") as f:
+        # Task-commit protocol: the FINAL name is deterministic in the
+        # partition id, the write goes to a uuid temp name, and the
+        # atomic rename publishes it — a retried or speculative task
+        # attempt republishes identical content over the same name
+        # instead of leaving a second file for readers to double-count.
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.arrow")
+        tmp = os.path.join(out_dir, f".part-{pid:05d}-{uuid.uuid4().hex}.tmp")
+        with pa.OSFile(tmp, "wb") as f:
             with pa.ipc.new_file(f, t.schema) as w:
                 w.write_table(t)
+        os.replace(tmp, path)
         yield pd.DataFrame({"path": [path], "rows": [t.num_rows]})
 
     manifest = df.mapInPandas(_write, MANIFEST_SCHEMA).collect()

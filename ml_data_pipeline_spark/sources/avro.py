@@ -254,15 +254,23 @@ def write_avro(df: DataFrame, out_dir: str) -> None:
     schema = df.schema
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
         rows: list[tuple] = []
         for pdf in batches:
             rows.extend(pdf.itertuples(index=False, name=None))
         if not rows:
             return
-        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.avro")
+        # Deterministic final name + temp-write + atomic rename: a
+        # retried/speculative attempt republishes the same file rather
+        # than adding a duplicate (see arrow_ipc.write_ipc).
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.avro")
+        tmp = os.path.join(out_dir, f".part-{pid:05d}-{uuid.uuid4().hex}.tmp")
         blob = write_avro_bytes(rows, schema)
-        with open(path, "wb") as f:
+        with open(tmp, "wb") as f:
             f.write(blob)
+        os.replace(tmp, path)
         yield pd.DataFrame({"path": [path], "rows": [len(rows)]})
 
     df.mapInPandas(_write, "path string, rows long").collect()

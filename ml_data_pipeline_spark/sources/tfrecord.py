@@ -212,13 +212,21 @@ def write_tfrecords_distributed(
     os.makedirs(out_dir, exist_ok=True)
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
         payloads: list[bytes] = []
         for pdf in batches:
             payloads.extend(bytes(b) for b in pdf[data_col])
         if not payloads:
             return
-        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.tfrecord")
-        write_tfrecords(path, payloads)
+        # Deterministic final name + temp-write + atomic rename: a
+        # retried/speculative attempt republishes the same file rather
+        # than adding a duplicate (see arrow_ipc.write_ipc).
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.tfrecord")
+        tmp = os.path.join(out_dir, f".part-{pid:05d}-{uuid.uuid4().hex}.tmp")
+        write_tfrecords(tmp, payloads)
+        os.replace(tmp, path)
         yield pd.DataFrame({"path": [path], "rows": [len(payloads)]})
 
     df.select(data_col).mapInPandas(_write, "path string, rows long").collect()

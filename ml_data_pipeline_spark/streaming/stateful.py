@@ -54,13 +54,20 @@ def _update(
         state.get if state.exists else (-1, False, None)
     )
     changed = False
+    # Vectorized per-batch winner: one idxmax per Arrow batch instead
+    # of a Python loop over event rows — a hot key's thousands of
+    # in-batch events cost one numpy reduction.
     for pdf in pdfs:
-        for seq, op, nt in zip(pdf["seq"], pdf["op"], pdf["n_tok"]):
-            if seq > best_seq:
-                best_seq = int(seq)
-                deleted = op == "D"
-                n_tok = None if deleted else (None if pd.isna(nt) else int(nt))
-                changed = True
+        if not len(pdf):
+            continue
+        i = pdf["seq"].idxmax()
+        seq = int(pdf["seq"].loc[i])
+        if seq > best_seq:
+            best_seq = seq
+            deleted = pdf["op"].loc[i] == "D"
+            nt = pdf["n_tok"].loc[i]
+            n_tok = None if deleted else (None if pd.isna(nt) else int(nt))
+            changed = True
     if changed:
         state.update((best_seq, deleted, n_tok))
         yield pd.DataFrame(

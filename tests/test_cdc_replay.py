@@ -122,3 +122,29 @@ def test_double_apply_batch_is_idempotent(spark, tmp_path):
     res = apply_batch(t, ev, batch_id=0)
     assert res["skipped"] and t.snapshot.snapshot_id == snap_before
     _check(t, ev_dir)
+
+
+def test_advisory_tables_bounded_files_over_many_batches(spark, tmp_path):
+    """50 micro-batches must NOT leave 50 one-row parquet files in the
+    advisory metrics/lineage tables: the driver-side append folds them
+    at ADVISORY_FOLD_AT, keeping the file count bounded no matter the
+    replay length, with no rows lost."""
+    from ml_data_pipeline_spark.cdc.apply import ADVISORY_FOLD_AT
+    from ml_data_pipeline_spark.cdc.events import CHANGE_SCHEMA
+
+    t = create_docs_table(spark, str(tmp_path / "tbl"), n_buckets=2)
+    for b in range(50):
+        rows = [(b * 10 + i, "I", f"d{b}_{i}", [b, i], 2, "web", None)
+                for i in range(3)]
+        apply_batch(t, spark.createDataFrame(rows, CHANGE_SCHEMA), batch_id=b)
+    for sub in ("metrics", "lineage"):
+        files = [
+            f
+            for f in os.listdir(os.path.join(t.root, sub))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) < ADVISORY_FOLD_AT, (sub, len(files))
+    m = read_metrics(t)
+    assert m.count() == 50
+    assert m.where("skipped").count() == 0
+    assert read_lineage(t).select("batch_id").distinct().count() == 50

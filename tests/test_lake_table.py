@@ -234,3 +234,65 @@ def test_quarantine_bad_records(spark, tmp_path):
         _events(spark, [(200, "U", "ok1", [9], 1, "web", None)]), batch_id=1
     )
     assert res2["events_in"] == 1 and res2["events_invalid"] == 0
+
+
+def test_driver_side_bucket_parity(spark):
+    """bloom.bucket_of / spark_xxhash64 must be bit-identical to
+    F.xxhash64 + pmod for string AND bigint keys (1k random each) —
+    the precondition for lookup() computing the bucket driver-side."""
+    import random
+    import string as _string
+
+    from ml_data_pipeline_spark.lake.bloom import bucket_of, spark_xxhash64
+
+    rng = random.Random(123)
+    strs = [
+        "".join(
+            rng.choices(_string.ascii_letters + _string.digits + "é漢_-", k=rng.randint(0, 64))
+        )
+        for _ in range(1000)
+    ]
+    got = spark.createDataFrame([(s,) for s in strs], "k string").select(
+        "k",
+        F.xxhash64("k").alias("h"),
+        F.pmod(F.xxhash64("k"), F.lit(16)).cast("int").alias("b"),
+    ).collect()
+    for r in got:
+        assert spark_xxhash64(r["k"]) == r["h"], r["k"]
+        assert bucket_of(r["k"], 16) == r["b"], r["k"]
+    longs = [rng.randint(-(2**62), 2**62) for _ in range(1000)]
+    got = spark.createDataFrame([(v,) for v in longs], "k long").select(
+        "k", F.xxhash64("k").alias("h")
+    ).collect()
+    for r in got:
+        assert spark_xxhash64(r["k"]) == r["h"], r["k"]
+
+
+def test_point_lookup_bloom_prunes_files(spark, tmp_path):
+    """On a bucket holding many delta files, a point lookup must read
+    only the file(s) that can contain the key (bloom pruning), and the
+    pruned result must still be exact."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "tbl"), DOC_SCHEMA, key_col="doc_id", n_buckets=1
+    )
+    # 8 batches of disjoint keys → 8 delta files in the single bucket
+    for b in range(8):
+        rows = [
+            (b * 100 + i, "I", f"d{b}_{i}", [b, i], 2, "web", None)
+            for i in range(20)
+        ]
+        t.merge_batch(_events(spark, rows), batch_id=b)
+    snap = t.refresh()
+    assert len(snap.files) == 8
+    assert all(f.key_bloom for f in snap.files)
+    cand = t.lookup_files("d3_7")
+    assert len(cand) <= 2, [f.path for f in cand]  # ~1 + rare false positives
+    got = t.lookup("d3_7").collect()
+    assert len(got) == 1 and got[0]["tokens"] == [3, 7]
+    # absent key: bloom usually prunes everything; result always empty
+    assert t.lookup("nope").count() == 0
+    # update + delete land in later files; lookup must still resolve
+    t.merge_batch(_events(spark, [(900, "U", "d3_7", [9, 9], 2, "web", None)]), batch_id=8)
+    assert t.lookup("d3_7").collect()[0]["tokens"] == [9, 9]
+    t.merge_batch(_events(spark, [(901, "D", "d3_7", None, None, None, None)]), batch_id=9)
+    assert t.lookup("d3_7").count() == 0

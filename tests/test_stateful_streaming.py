@@ -77,3 +77,24 @@ def test_running_latest_rocksdb_state_store(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_update_has_no_per_row_python_loop():
+    """_update must reduce each Arrow batch vectorized (idxmax), not
+    iterate event rows — pin that no for-loop targets zipped/iterated
+    row values (the batch-level `for pdf in pdfs` is fine)."""
+    import ast
+    import inspect
+    import textwrap
+
+    from ml_data_pipeline_spark.streaming import stateful
+
+    tree = ast.parse(textwrap.dedent(inspect.getsource(stateful._update)))
+    for node in ast.walk(tree):
+        if isinstance(node, ast.For):
+            it = node.iter
+            assert not (
+                isinstance(it, ast.Call)
+                and isinstance(it.func, ast.Name)
+                and it.func.id == "zip"
+            ), "per-row zip loop reintroduced in stateful._update"
