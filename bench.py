@@ -51,16 +51,25 @@ def _sf_label(path: str) -> float:
         return -1.0
 
 
-def run_queries(spark) -> dict[str, float]:
+def run_queries(spark, reps: int = 2) -> dict[str, float]:
+    """Best-of-``reps`` wall per query — the same steady-state policy
+    as the CDC bench (and the same rationale: the first execution of a
+    query pays one-time JVM/codegen compilation, measured at 10-12 s
+    for the heaviest codegen plans like ngram_jaccard_pairs vs ~4 s
+    steady-state; an analytics engine's recurring cost is the warmed
+    number). Disclosed in BASELINE.md."""
     from ml_data_pipeline_spark import queries as registry
 
     times: dict[str, float] = {}
     for name, fn in registry.queries().items():
-        t0 = time.monotonic()
-        df = fn(spark, SF_DIR)
-        n = df.count()  # full execution; result sizes are small-to-mid
-        times[name] = round(time.monotonic() - t0, 3)
-        del n
+        best = None
+        for _ in range(max(1, reps)):
+            t0 = time.monotonic()
+            df = fn(spark, SF_DIR)
+            df.count()  # full execution; result sizes are small-to-mid
+            wall = time.monotonic() - t0
+            best = wall if best is None else min(best, wall)
+        times[name] = round(best, 3)
     return times
 
 
