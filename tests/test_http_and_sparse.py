@@ -1,0 +1,112 @@
+"""HTTP source demo (file:// URLs — no network in the sandbox) and
+COO sparse-vector mapping (reference tensor.rs:429-453 parity)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from ml_data_pipeline_spark.functions.sparse import (
+    from_sparse,
+    sparse_density,
+    sparse_dot,
+    sparse_nnz,
+    to_sparse,
+)
+from ml_data_pipeline_spark.sources.http import read_http
+
+
+def test_http_source_fetches_files_and_reports_errors(spark, sf_dir):
+    files = sorted(glob.glob(os.path.join(sf_dir, "*.parquet")))[:3]
+    urls = [f"file://{p}" for p in files] + [
+        "file:///nonexistent/definitely-missing.bin"
+    ]
+    got = {
+        r["url"]: r
+        for r in read_http(spark, urls, partitions=2).collect()
+    }
+    for p in files:
+        r = got[f"file://{p}"]
+        assert r["error"] is None
+        assert r["length"] == os.path.getsize(p)
+        assert bytes(r["content"])[:4] == b"PAR1"  # parquet magic
+    bad = got["file:///nonexistent/definitely-missing.bin"]
+    assert bad["error"] is not None and bad["content"] is None
+
+    # feeds the existing sniff/decode path: binary column in, no UDF
+    # other than the Arrow-batched fetch itself
+    plan = (
+        read_http(spark, urls)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan  # Arrow mapInPandas only
+
+
+def test_http_source_truncates_oversized(spark, sf_dir):
+    p = sorted(glob.glob(os.path.join(sf_dir, "*.parquet")))[0]
+    r = read_http(spark, [f"file://{p}"], max_bytes=100).collect()[0]
+    assert r["error"] == "truncated" and r["length"] == 100
+
+
+def test_sparse_roundtrip_and_dot(spark):
+    rows = [
+        ([0.0, 1.5, 0.0, -2.0, 0.0, 0.0], [1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        ([0.0, 0.0, 0.0, 0.0, 0.0, 0.0], [9.0, 9.0, 9.0, 9.0, 9.0, 9.0]),
+        ([3.0, 0.0, 0.0, 0.0, 0.0, 0.5], [1.0, 0.0, 0.0, 0.0, 0.0, 2.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "dense array<double>, other array<double>"
+    ).withColumn("sp", to_sparse(F.col("dense")))
+    got = df.select(
+        "dense",
+        from_sparse(F.col("sp")).alias("back"),
+        sparse_dot(F.col("sp"), F.col("other")).alias("dot"),
+        sparse_nnz(F.col("sp")).alias("nnz"),
+        sparse_density(F.col("sp")).alias("density"),
+    ).collect()
+    import numpy as np
+
+    for r, (dense, other) in zip(got, rows):
+        assert r["back"] == dense  # exact roundtrip
+        assert abs(r["dot"] - float(np.dot(dense, other))) < 1e-12
+        assert r["nnz"] == sum(1 for v in dense if v != 0)
+        assert abs(r["density"] - r["nnz"] / len(dense)) < 1e-12
+
+    # stays JVM-side: pure expressions, no Python nodes at all
+    plan = df.select(from_sparse(F.col("sp")))._jdf.queryExecution()
+    assert "Python" not in plan.executedPlan().toString()
+
+
+def test_sparse_on_embeddings_table(spark, sf_dir):
+    """Sparsify real embeddings thresholded to mostly-zero, dot
+    against the dense original: sparse_dot(sp(x'), x) must equal the
+    dense dot of the thresholded vector — on every row."""
+    from ml_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").limit(50)
+    thr = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("x"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda v: F.when(F.abs(v) > 0.1, v).otherwise(F.lit(0.0)),
+        ).alias("xt"),
+    )
+    out = thr.select(
+        "vec_id",
+        sparse_dot(to_sparse(F.col("xt")), F.col("x")).alias("s_dot"),
+        F.aggregate(
+            F.zip_with(F.col("xt"), F.col("x"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("d_dot"),
+        sparse_density(to_sparse(F.col("xt"))).alias("density"),
+    ).collect()
+    assert out
+    for r in out:
+        assert abs(r["s_dot"] - r["d_dot"]) < 1e-9
+        assert r["density"] < 1.0
