@@ -17,6 +17,10 @@ Subcommands:
     vacuum        — delete unreachable files / expire old snapshots
     generate      — write a deterministic synthetic change stream
     show          — print snapshot + row count
+    changes       — incremental changelog since a snapshot id
+    lookup        — point lookup (driver-side bucket, bloom-pruned)
+    feed          — pump the changes feed into another table
+                    (durable cursor, exactly-once)
 
 On a cluster, drop the --cores flag and let spark-submit's --master/
 --num-executors decide; build_session only forces local[] when no
@@ -111,6 +115,21 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--out", default=None,
                     help="write the changelog as parquet here "
                          "(default: print counts only)")
+
+    lk = sub.add_parser("lookup",
+                        help="point lookup (driver-side bucket + "
+                             "bloom-pruned file scan)")
+    lk.add_argument("--table", required=True)
+    lk.add_argument("--key", required=True)
+
+    fd = sub.add_parser("feed",
+                        help="pump the table's changes feed into a "
+                             "destination table, exactly-once, "
+                             "resuming from a durable cursor")
+    fd.add_argument("--table", required=True)
+    fd.add_argument("--dest", required=True)
+    fd.add_argument("--cursor", required=True)
+    fd.add_argument("--salt", type=int, default=None)
 
     args = p.parse_args(argv)
     spark = _session(args)
@@ -216,6 +235,32 @@ def main(argv: list[str] | None = None) -> int:
                     "upserts": int(counts.get("U", 0)),
                     "deletes": int(counts.get("D", 0)),
                     "out": args.out,
+                }
+            )
+        )
+    elif args.cmd == "lookup":
+        t = LakeTable.load(spark, args.table)
+        n_files = len(t.lookup_files(args.key))
+        rows = [r.asDict() for r in t.lookup(args.key).collect()]
+        print(
+            json.dumps(
+                {"key": args.key, "files_scanned": n_files, "rows": rows},
+                default=str,
+            )
+        )
+    elif args.cmd == "feed":
+        from ml_data_pipeline_spark.lake.feed import ChangesFeed
+
+        t = LakeTable.load(spark, args.table)
+        dest = LakeTable.load(spark, args.dest)
+        feed = ChangesFeed(t, args.cursor)
+        windows = feed.pump_all(dest, salt=args.salt)
+        print(
+            json.dumps(
+                {
+                    "windows": windows,
+                    "cursor": feed.cursor,
+                    "dest_rows": dest.read().count(),
                 }
             )
         )
