@@ -71,17 +71,20 @@ class ChangesFeed:
 
     # --------------------------------------------------------------- read
 
-    def poll(self) -> tuple[DataFrame | None, int]:
+    def poll(self, include_old: bool = False) -> tuple[DataFrame | None, int]:
         """(changes DataFrame, target snapshot id) for the window from
         the cursor to the table's current committed snapshot, or
         (None, cursor) when there is nothing new. Does NOT advance the
         cursor — call ``commit(target)`` after the window is applied.
+        ``include_old`` forwards to ``LakeTable.changes`` (previous
+        payload as ``_old_<col>`` — needed by derived views that
+        retract old contributions, e.g. the inverted token index).
         """
         cur = self.cursor
         head = self.table.refresh().snapshot_id
         if head <= cur:
             return None, cur
-        return self.table.changes(cur), head
+        return self.table.changes(cur, include_old=include_old), head
 
     # --------------------------------------------------------------- sink
 

@@ -619,7 +619,9 @@ class LakeTable:
         ]
         return F.greatest(*parts) if len(parts) > 1 else parts[0]
 
-    def changes(self, since_snapshot_id: int) -> DataFrame:
+    def changes(
+        self, since_snapshot_id: int, include_old: bool = False
+    ) -> DataFrame:
         """Incremental changes feed (Iceberg incremental-read analog):
         the net per-key change between ``since_snapshot_id`` and the
         current snapshot, as a changelog of (op 'U'|'D', key, payload,
@@ -639,18 +641,34 @@ class LakeTable:
         inside the window may have GC'd a tombstone this feed hasn't
         delivered yet (see ``compact``'s contract) — otherwise the net
         delete is unobservable from the file diff.
+
+        ``include_old=True`` additionally attaches the key's PREVIOUS
+        payload as ``_old_<col>`` columns (null for newly-inserted
+        keys) — free here (the base state is already joined for the
+        version comparison) and required by derived views that must
+        retract old contributions, e.g. the inverted token index
+        (postings for tokens REMOVED by an update).
         """
         snap = self.refresh()
         base = self.snapshot_by_id(since_snapshot_id)
         base_paths = {f.path for f in base.files}
         added = [f for f in snap.files if f.path not in base_paths]
+        payload = [f.name for f in snap.schema.fields if f.name != snap.key_col]
         out_schema = T.StructType(
             [T.StructField("op", T.StringType())]
             + list(snap.storage_schema().fields)
+            + (
+                [
+                    T.StructField(f"_old_{f.name}", f.dataType)
+                    for f in snap.schema.fields
+                    if f.name != snap.key_col
+                ]
+                if include_old
+                else []
+            )
         )
         if not added:
             return self.spark.createDataFrame([], out_schema)
-        payload = [f.name for f in snap.schema.fields if f.name != snap.key_col]
 
         def _reduce(df: DataFrame) -> DataFrame:
             if snap.patch_enabled:
@@ -670,10 +688,19 @@ class LakeTable:
         win = self.scan_files(files=added, snap=snap)
         new_state = _reduce(base_state.unionByName(win))
         ver = self._version_expr(snap)
+        old_cols = []
+        if include_old:
+            old_cols = [
+                F.when(~F.col("_base_del"), F.col(f"_old_{c}")).alias(
+                    f"_old_{c}"
+                )
+                for c in payload
+            ]
         base_vers = base_state.select(
             F.col(snap.key_col),
             ver.alias("_base_ver"),
             F.col(DELETED_COL).alias("_base_del"),
+            *[F.col(c).alias(f"_old_{c}") for c in (payload if include_old else [])],
         )
         base_absent = F.col("_base_ver").isNull() | F.col("_base_del")
         changed = (
@@ -684,14 +711,15 @@ class LakeTable:
             # a key absent at the base (never existed, or tombstoned)
             # that is still/again deleted now is not a net change
             .where(~(F.col(DELETED_COL) & base_absent))
-            .drop("_base_ver", "_base_del")
         )
-        return changed.select(
+        out = changed.select(
             F.when(F.col(DELETED_COL), F.lit("D"))
             .otherwise(F.lit("U"))
             .alias("op"),
             *[F.col(c) for c in win.columns],
+            *old_cols,
         )
+        return out
 
     # ---------------------------------------------------------------- merge
 

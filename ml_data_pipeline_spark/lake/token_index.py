@@ -1,0 +1,249 @@
+"""TokenIndex — an incrementally-maintained inverted index
+(token → doc postings) over the lake table's token arrays.
+
+The secondary-index piece of a training-data pipeline: membership
+("which documents contain token t?") and benchmark-contamination
+checks ("which documents contain this whole token sequence?") must
+not scan 100 TB of token arrays per probe. The index is a derived
+view kept up to date from the table's ``ChangesFeed`` — the consumer
+side of the CDC engine eating its own output.
+
+Layout (its own structure, deliberately simpler than LakeTable):
+``root/bucket=<pmod(xxhash64(token), n_buckets)>/*.parquet`` holding
+posting rows ``(token, doc_id, ver, present)``. Per feed window the
+sync appends, for every changed document:
+
+* ``present=true``  rows for the NEW state's distinct tokens,
+* ``present=false`` rows for tokens REMOVED by the update (old minus
+  new — via ``changes(include_old=True)``) or for ALL old tokens on
+  a delete,
+
+each stamped with the document's change version ``ver``. A read
+reduces per (token, doc_id) by max ``ver`` (present flag rides
+along) — the same LWW semilattice as the main table, so re-delivered
+windows (crash between append and cursor commit) collapse to the
+identical state: appends are idempotent under the reduce.
+
+Scale shape: a probe for one token reads ONE bucket directory
+(1/n_buckets of the index); the per-window append is one shuffle of
+exploded (token, doc) pairs, partitioned by bucket; compaction folds
+a bucket's appends into one reduced file. The postings themselves
+never pass through the driver.
+
+Reference analog: the string-dictionary's keyed access
+(/root/reference/ml-data/ml-data-core/src/string_cache.rs) — the
+token→postings map is the same inverted shape, kept incrementally
+fresh instead of rebuilt.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ml_data_pipeline_spark.lake.feed import ChangesFeed
+from ml_data_pipeline_spark.lake.table import DELETED_COL, LakeTable
+
+POSTING_SCHEMA = T.StructType(
+    [
+        T.StructField("token", T.IntegerType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("ver", T.LongType(), False),
+        T.StructField("present", T.BooleanType(), False),
+    ]
+)
+
+
+class TokenIndex:
+    """Inverted token→doc index, synced from a LakeTable's feed."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+
+    # ------------------------------------------------------------ lifecycle
+
+    @property
+    def meta_path(self) -> str:
+        return os.path.join(self.root, "_index.json")
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        *,
+        tokens_col: str = "tokens",
+        n_buckets: int = 16,
+    ) -> "TokenIndex":
+        ix = cls(spark, root)
+        os.makedirs(ix.root, exist_ok=True)
+        if os.path.exists(ix.meta_path):
+            raise ValueError(f"index already exists at {root}")
+        tmp = ix.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"tokens_col": tokens_col, "n_buckets": n_buckets}, f)
+        os.replace(tmp, ix.meta_path)
+        return ix
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "TokenIndex":
+        ix = cls(spark, root)
+        ix.meta  # raises if absent
+        return ix
+
+    @property
+    def meta(self) -> dict:
+        with open(self.meta_path) as f:
+            return json.load(f)
+
+    def _bucket_expr(self, token_col):
+        return F.pmod(
+            F.xxhash64(token_col.cast("long")),
+            F.lit(self.meta["n_buckets"]),
+        ).cast("int")
+
+    # ---------------------------------------------------------------- sync
+
+    def sync(self, feed: ChangesFeed) -> dict:
+        """Drain the feed into the index, one window at a time,
+        exactly-once end-to-end: appends are idempotent under the
+        (token, doc) max-ver reduce, and the cursor commits after each
+        window's append — a crash in between re-appends the same
+        window, which reduces to the same state.
+        """
+        meta = self.meta
+        tokens_col = meta["tokens_col"]
+        windows = 0
+        while True:
+            df, target = feed.poll(include_old=True)
+            if df is None:
+                return {"windows": windows, "cursor": feed.cursor}
+            key = feed.table.snapshot.key_col
+            ver = feed.table._version_expr(feed.table.snapshot).alias("ver")
+            new_tok = F.when(
+                ~F.col(DELETED_COL), F.array_distinct(F.col(tokens_col))
+            ).otherwise(F.array().cast("array<int>"))
+            old_tok = F.coalesce(
+                F.array_distinct(F.col(f"_old_{tokens_col}")),
+                F.array().cast("array<int>"),
+            )
+            base = df.select(
+                F.col(key).alias("doc_id"),
+                ver,
+                new_tok.alias("_new"),
+                old_tok.alias("_old"),
+            )
+            adds = base.select(
+                F.explode("_new").alias("token"),
+                "doc_id",
+                "ver",
+                F.lit(True).alias("present"),
+            )
+            dels = base.select(
+                F.explode(F.array_except("_old", "_new")).alias("token"),
+                "doc_id",
+                "ver",
+                F.lit(False).alias("present"),
+            )
+            postings = adds.unionByName(dels)
+            out_dir = os.path.join(self.root, f"win-{uuid.uuid4().hex}")
+            (
+                postings.withColumn("bucket", self._bucket_expr(F.col("token")))
+                .repartition(F.col("bucket"))
+                .write.partitionBy("bucket")
+                .parquet(out_dir)
+            )
+            feed.commit(target)
+            windows += 1
+
+    # ---------------------------------------------------------------- read
+
+    def _scan(self, buckets: list[int] | None = None) -> DataFrame:
+        """Posting rows from the selected bucket directories across all
+        window appends (leaf-dir reads — the bucket is path metadata,
+        recomputable from the token, never a data column)."""
+        bset = None if buckets is None else set(buckets)
+        paths = []
+        for w in sorted(os.listdir(self.root)):
+            if not w.startswith("win-"):
+                continue
+            wdir = os.path.join(self.root, w)
+            for b in os.listdir(wdir):
+                if not b.startswith("bucket="):
+                    continue
+                if bset is None or int(b.split("=", 1)[1]) in bset:
+                    paths.append(os.path.join(wdir, b))
+        if not paths:
+            return self.spark.createDataFrame([], POSTING_SCHEMA)
+        return self.spark.read.schema(POSTING_SCHEMA).parquet(*paths)
+
+    @staticmethod
+    def _reduce(postings: DataFrame) -> DataFrame:
+        packed = postings.groupBy("token", "doc_id").agg(
+            F.max(F.struct("ver", "present")).alias("_p")
+        )
+        return packed.select(
+            "token",
+            "doc_id",
+            F.col("_p.ver").alias("ver"),
+            F.col("_p.present").alias("present"),
+        )
+
+    def postings(self, token: int) -> DataFrame:
+        """Documents currently containing ``token`` — reads ONE bucket."""
+        from ml_data_pipeline_spark.lake.bloom import spark_xxhash64
+
+        bucket = spark_xxhash64(int(token)) % self.meta["n_buckets"]
+        raw = self._scan([bucket]).where(F.col("token") == int(token))
+        return (
+            self._reduce(raw)
+            .where(F.col("present"))
+            .select("doc_id", "ver")
+        )
+
+    def containing_all(self, tokens: list[int]) -> DataFrame:
+        """Documents containing EVERY token in ``tokens`` (the
+        contamination-check primitive): reads len(set(tokens)) buckets,
+        intersects via a count-matching groupBy — no full-table scan.
+        """
+        from ml_data_pipeline_spark.lake.bloom import spark_xxhash64
+
+        toks = sorted({int(t) for t in tokens})
+        buckets = sorted(
+            {spark_xxhash64(t) % self.meta["n_buckets"] for t in toks}
+        )
+        raw = self._scan(list(buckets)).where(F.col("token").isin(toks))
+        live = self._reduce(raw).where(F.col("present"))
+        return (
+            live.groupBy("doc_id")
+            .agg(F.countDistinct("token").alias("_n"))
+            .where(F.col("_n") == len(toks))
+            .select("doc_id")
+        )
+
+    def compact(self) -> dict:
+        """Fold all window appends into one reduced file per bucket."""
+        reduced = self._reduce(self._scan()).withColumn(
+            "bucket", self._bucket_expr(F.col("token"))
+        )
+        out_dir = os.path.join(self.root, f"win-{uuid.uuid4().hex}")
+        (
+            reduced.repartition(F.col("bucket"))
+            .write.partitionBy("bucket")
+            .parquet(out_dir)
+        )
+        old = [
+            d
+            for d in os.listdir(self.root)
+            if d.startswith("win-") and os.path.join(self.root, d) != out_dir
+        ]
+        import shutil
+
+        for d in old:
+            shutil.rmtree(os.path.join(self.root, d))
+        return {"folded_windows": len(old)}

@@ -1,0 +1,109 @@
+"""Inverted token index maintained from the ChangesFeed.
+
+Truth model: after any sync, `postings(t)` must equal the set of live
+documents whose token array contains t, recomputed from the main
+table — across inserts, updates that REMOVE tokens, deletes,
+re-delivered windows (crash between append and cursor commit), and
+index compaction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ml_data_pipeline_spark.cdc.apply import apply_batch, create_docs_table
+from ml_data_pipeline_spark.cdc.events import CHANGE_SCHEMA
+from ml_data_pipeline_spark.lake.feed import ChangesFeed
+from ml_data_pipeline_spark.lake.token_index import TokenIndex
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, CHANGE_SCHEMA)
+
+
+def _truth(table):
+    """token -> set(doc_id) recomputed from the table's live state."""
+    rows = (
+        table.read()
+        .select("doc_id", F.explode(F.array_distinct("tokens")).alias("t"))
+        .collect()
+    )
+    out: dict[int, set[str]] = {}
+    for r in rows:
+        out.setdefault(r["t"], set()).add(r["doc_id"])
+    return out
+
+
+def _check_full(ix, table):
+    truth = _truth(table)
+    all_tokens = set(truth) | {999}  # 999 = never-present probe
+    for t in sorted(all_tokens):
+        got = {r["doc_id"] for r in ix.postings(t).collect()}
+        assert got == truth.get(t, set()), (t, got, truth.get(t, set()))
+
+
+def test_token_index_tracks_updates_deletes(spark, tmp_path):
+    t = create_docs_table(spark, str(tmp_path / "tbl"), n_buckets=4)
+    ix = TokenIndex.create(spark, str(tmp_path / "ix"), n_buckets=8)
+    feed = ChangesFeed(t, str(tmp_path / "cursor.json"))
+
+    apply_batch(
+        t,
+        _events(
+            spark,
+            [
+                (1, "I", "a", [10, 11, 12], 3, "web", None),
+                (2, "I", "b", [11, 13], 2, "web", None),
+                (3, "I", "c", [10, 13, 13], 3, "code", None),  # dup token
+            ],
+        ),
+        batch_id=0,
+        write_metrics=False,
+    )
+    ix.sync(feed)
+    _check_full(ix, t)
+
+    # update removes tokens 11,12 from a, adds 14; delete b entirely
+    apply_batch(
+        t,
+        _events(
+            spark,
+            [
+                (4, "U", "a", [10, 14], 2, "web", None),
+                (5, "D", "b", None, None, None, None),
+            ],
+        ),
+        batch_id=1,
+        write_metrics=False,
+    )
+    ix.sync(feed)
+    _check_full(ix, t)
+    assert {r["doc_id"] for r in ix.postings(11).collect()} == set()
+    assert {r["doc_id"] for r in ix.postings(13).collect()} == {"c"}
+
+    # crash-replay: rewind the cursor one window and re-sync — the
+    # duplicate append must reduce to the identical state
+    feed.commit(feed.cursor - 1)
+    out = ix.sync(feed)
+    assert out["windows"] == 1
+    _check_full(ix, t)
+
+    # compaction folds windows; results unchanged, one dir remains
+    import os
+
+    res = ix.compact()
+    assert res["folded_windows"] >= 2
+    wins = [d for d in os.listdir(ix.root) if d.startswith("win-")]
+    assert len(wins) == 1
+    _check_full(ix, t)
+
+    # contamination primitive: docs containing the whole token set
+    got = {r["doc_id"] for r in ix.containing_all([10, 14]).collect()}
+    assert got == {"a"}
+    got = {r["doc_id"] for r in ix.containing_all([10]).collect()}
+    assert got == {"a", "c"}
+    assert ix.containing_all([10, 11]).count() == 0
+
+    # a reloaded index handle sees the same state
+    ix2 = TokenIndex.load(spark, ix.root)
+    _check_full(ix2, t)
