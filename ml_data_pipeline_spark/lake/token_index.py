@@ -226,6 +226,52 @@ class TokenIndex:
             .select("doc_id")
         )
 
+    def contaminated_docs(
+        self, table: LakeTable, sequence: list[int]
+    ) -> DataFrame:
+        """Documents whose token array contains ``sequence`` as a
+        CONTIGUOUS subsequence — the benchmark-contamination check.
+
+        Two stages, both pruned: (1) candidate retrieval from the
+        index (``containing_all`` — set membership over
+        len(set(sequence)) index buckets), then (2) exact verify of
+        only the candidates against the main table, bucket-pruned to
+        the candidates' buckets, with a codegen'd positional
+        ``exists`` over the token array (no UDF). The 100 TB of token
+        arrays is touched only where a candidate lives.
+        """
+        from ml_data_pipeline_spark.lake.bloom import bucket_of
+
+        seq = [int(t) for t in sequence]
+        if not seq:
+            raise ValueError("empty sequence")
+        snap = table.refresh()
+        # Candidates are the probe's result set — small for any real
+        # contamination query — so collecting their ids to prune the
+        # verify scan to their buckets is the point-probe trade, same
+        # as lookup().
+        cand_ids = [r["doc_id"] for r in self.containing_all(seq).collect()]
+        key = snap.key_col
+        if not cand_ids:
+            return self.spark.createDataFrame([], T.StructType([snap.schema[key]]))
+        buckets = sorted({bucket_of(c, snap.n_buckets) for c in cand_ids})
+        docs = table.read(buckets=buckets).where(F.col(key).isin(cand_ids))
+        tok = F.col(self.meta["tokens_col"])
+        length = len(seq)
+
+        def _match_at(p):
+            cond = None
+            for i, t in enumerate(seq):
+                c = F.element_at(tok, (p + i).cast("int")) == F.lit(t)
+                cond = c if cond is None else (cond & c)
+            return cond
+
+        starts = F.when(
+            F.size(tok) >= length,
+            F.sequence(F.lit(1), F.size(tok) - length + 1),
+        ).otherwise(F.array().cast("array<int>"))
+        return docs.where(F.exists(starts, _match_at)).select(key)
+
     def compact(self) -> dict:
         """Fold all window appends into one reduced file per bucket."""
         reduced = self._reduce(self._scan()).withColumn(

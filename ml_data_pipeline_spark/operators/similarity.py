@@ -241,6 +241,13 @@ def kmeans_fit(
     cluster, dist2)) where dist2 is the exact integer distance scaled
     by 10^12.
     """
+    # NOTE on the sf0.1 wall (~8 s): centroids are inlined as literals,
+    # so every iteration generates and JIT-compiles a fresh k×d-literal
+    # fold expression — a per-iteration FIXED cost (measured: persisting
+    # the scan input does not move it) that is noise at 10^9 vectors
+    # where the scan dominates. The alternative (explode + broadcast
+    # centroid join) compiles once but shuffles k rows per vector —
+    # strictly worse at scale, so the literal-fold shape stays.
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(

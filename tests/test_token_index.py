@@ -107,3 +107,42 @@ def test_token_index_tracks_updates_deletes(spark, tmp_path):
     # a reloaded index handle sees the same state
     ix2 = TokenIndex.load(spark, ix.root)
     _check_full(ix2, t)
+
+
+def test_contaminated_docs_exact_subsequence(spark, tmp_path):
+    """containing_all is set membership (candidates); contaminated_docs
+    must verify CONTIGUOUS order — a doc with the right tokens in the
+    wrong order is a candidate but not a contamination."""
+    t = create_docs_table(spark, str(tmp_path / "tbl"), n_buckets=4)
+    ix = TokenIndex.create(spark, str(tmp_path / "ix"), n_buckets=8)
+    feed = ChangesFeed(t, str(tmp_path / "cursor.json"))
+    apply_batch(
+        t,
+        _events(
+            spark,
+            [
+                (1, "I", "hit", [5, 1, 2, 3, 9], 5, "web", None),
+                (2, "I", "scrambled", [3, 2, 1, 5, 9], 5, "web", None),
+                (3, "I", "partial", [1, 2, 7], 3, "web", None),
+                (4, "I", "exact", [1, 2, 3], 3, "web", None),
+                (5, "I", "short", [1], 1, "web", None),
+            ],
+        ),
+        batch_id=0,
+        write_metrics=False,
+    )
+    ix.sync(feed)
+    got = {r["doc_id"] for r in ix.contaminated_docs(t, [1, 2, 3]).collect()}
+    assert got == {"hit", "exact"}
+    # sequence longer than any doc: no matches, no errors
+    assert ix.contaminated_docs(t, [1, 2, 3, 9, 9, 9, 9]).count() == 0
+    # no candidates at all (token 42 indexed nowhere)
+    assert ix.contaminated_docs(t, [42]).count() == 0
+    # verify stays JVM-side: no Python nodes in the verify plan
+    plan = (
+        ix.contaminated_docs(t, [1, 2])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
