@@ -41,10 +41,17 @@ their ``_seq``. They must survive compaction (a late lower-seq update
 must still lose to the delete); ``compact(gc_before_seq=...)`` drops
 tombstones older than a replay watermark.
 
-Single-writer assumption: commits are driven by one streaming query
-(or one batch driver). On an object store you would CAS the pointer
-through a catalog service; the protocol here is pointer-swap on a
-POSIX filesystem.
+Concurrency: commits use optimistic concurrency (Iceberg-style). The
+commit point is the EXCLUSIVE creation (``open(…, 'x')``) of
+``snapshot-<id>.json`` — two writers racing to commit the same next
+id produce exactly one winner; the loser gets ``CommitConflict``,
+refreshes, REBASES its already-written delta files onto the winner's
+snapshot (files are immutable and schema-fingerprinted, so a rebase
+is a metadata-only retry) and commits again. The version-hint file
+is an advisory fast-path cache; ``refresh()`` probes past it for
+snapshots whose hint update didn't land (creation is the commit, the
+hint is not). On an object store, swap the exclusive create for a
+catalog CAS — the protocol is unchanged.
 """
 
 from __future__ import annotations
@@ -69,6 +76,11 @@ HIDDEN_COLS = (SEQ_COL, DELETED_COL)
 PS_PREFIX = "_ps_"  # per-column patch-seq columns (patch-enabled tables)
 PATCH_PROP = "patch.enabled"
 CARRIER_SEQ = -(2**62)  # _seq of patch-carrier rows: loses to any full event
+
+
+class CommitConflict(Exception):
+    """Another writer committed this snapshot id first (optimistic
+    concurrency): refresh, rebase, retry."""
 
 
 @dataclass
@@ -252,6 +264,13 @@ class LakeTable:
         hint = os.path.join(self.meta_dir, "version-hint.txt")
         with open(hint) as f:
             sid = int(f.read().strip())
+        # The hint is advisory: snapshot CREATION is the commit point,
+        # so probe past the hint for commits whose hint update didn't
+        # land (writer crashed between create and hint swap).
+        while os.path.exists(
+            os.path.join(self.meta_dir, f"snapshot-{sid + 1}.json")
+        ):
+            sid += 1
         with open(os.path.join(self.meta_dir, f"snapshot-{sid}.json")) as f:
             self._snapshot = Snapshot.from_json(json.load(f))
         return self._snapshot
@@ -281,19 +300,35 @@ class LakeTable:
     # --------------------------------------------------------------- commit
 
     def _write_snapshot(self, snap: Snapshot) -> None:
+        """Commit ``snap``. The exclusive create of the snapshot file
+        is THE commit point (optimistic concurrency: exactly one
+        writer can create ``snapshot-<id>.json``); the version-hint
+        swap after it is an advisory fast-path for ``refresh``.
+        Raises ``CommitConflict`` if another writer committed this id.
+        """
         path = os.path.join(self.meta_dir, f"snapshot-{snap.snapshot_id}.json")
-        tmp = path + ".tmp"
+        tmp = os.path.join(self.meta_dir, f".snap-{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             json.dump(snap.to_json(), f)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, path)
+        try:
+            # Atomic claim of the id with content already complete: a
+            # crash can orphan the .tmp (harmless, ignored by readers)
+            # but can never publish a torn snapshot.
+            os.link(tmp, path)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise CommitConflict(
+                f"snapshot {snap.snapshot_id} already committed by another "
+                f"writer"
+            ) from None
+        os.unlink(tmp)
         hint_tmp = os.path.join(self.meta_dir, f".hint-{uuid.uuid4().hex}.tmp")
         with open(hint_tmp, "w") as f:
             f.write(str(snap.snapshot_id))
             f.flush()
             os.fsync(f.fileno())
-        # Atomic pointer swap: THE commit point.
         os.replace(hint_tmp, os.path.join(self.meta_dir, "version-hint.txt"))
         self._snapshot = snap
 
@@ -968,26 +1003,75 @@ class LakeTable:
         new_files = self._write_files(resolved, kind="delta", snap=new_snap)
         n_rows = sum(f.rows for f in new_files)
         touched = sorted({f.bucket for f in new_files})
+        # fp describes the files AS WRITTEN — it must survive rebases
+        # unchanged even if the rebased snapshot's schema moves on.
         fp = _schema_fp(new_snap.storage_schema())
-        new_snap.schemas[fp] = new_snap.storage_schema().jsonValue()
-        new_snap.files = list(snap.files) + new_files
+        written_schema_json = new_snap.storage_schema().jsonValue()
 
-        if compact_touched and touched:
-            self._compact_into(new_snap, touched, gc_before_seq=None)
-
-        if batch_id is not None:
-            new_snap.watermarks[stream_id] = batch_id
-        new_snap.summary = {
-            "operation": "merge",
-            "stream_id": stream_id,
-            "batch_id": batch_id,
-            "upsert_rows": n_rows,
-            "touched_buckets": touched,
-            "evolved": evolved,
-            **(summary_extra or {}),
-        }
-        self._write_snapshot(new_snap)
-        parent_paths = {p.path for p in snap.files}
+        # --- optimistic commit (+ rebase on conflict) --------------------
+        # The delta files are immutable and schema-fingerprinted, so a
+        # losing writer rebases METADATA only: rebuild the snapshot on
+        # the winner's head (files, watermarks, schemas), re-merge the
+        # schema through the lattice, and retry. Compaction output from
+        # a losing attempt is orphaned (vacuum reclaims it) and re-run
+        # against the rebased file set, so no winner file is ever
+        # dropped from a compacted bucket.
+        base_snap = snap
+        committed = False
+        for _attempt in range(5):
+            new_snap.schemas[fp] = written_schema_json
+            new_snap.files = list(base_snap.files) + new_files
+            if compact_touched and touched:
+                self._compact_into(new_snap, touched, gc_before_seq=None)
+            if batch_id is not None:
+                new_snap.watermarks[stream_id] = batch_id
+            new_snap.summary = {
+                "operation": "merge",
+                "stream_id": stream_id,
+                "batch_id": batch_id,
+                "upsert_rows": n_rows,
+                "touched_buckets": touched,
+                "evolved": evolved,
+                **(summary_extra or {}),
+            }
+            try:
+                self._write_snapshot(new_snap)
+                committed = True
+                break
+            except CommitConflict:
+                head = self.refresh()
+                if batch_id is not None and self.already_applied(
+                    stream_id, batch_id
+                ):
+                    # The winner (or an earlier replay) applied this
+                    # very batch — exactly-once still holds; our delta
+                    # files stay unreferenced until vacuum.
+                    return {
+                        "skipped": True,
+                        "stream_id": stream_id,
+                        "batch_id": batch_id,
+                        "snapshot_id": head.snapshot_id,
+                    }
+                schema_after = merge_schemas(head.schema, schema_after)
+                evolved = schema_after != head.schema or evolved
+                base_snap = head
+                new_snap = Snapshot(
+                    snapshot_id=head.snapshot_id + 1,
+                    parent_id=head.snapshot_id,
+                    schema_json=schema_after.jsonValue(),
+                    key_col=head.key_col,
+                    n_buckets=head.n_buckets,
+                    files=[],
+                    schemas=dict(head.schemas),
+                    watermarks=dict(head.watermarks),
+                    properties=dict(head.properties),
+                )
+        if not committed:
+            raise CommitConflict(
+                "merge_batch lost 5 consecutive commit races — check for a "
+                "runaway writer storm on this table"
+            )
+        parent_paths = {p.path for p in base_snap.files}
 
         # --- quarantine write (post-commit, advisory) --------------------
         events_in = events_invalid = None
@@ -1105,24 +1189,41 @@ class LakeTable:
         it on the minimum consumer cursor exactly like Iceberg gates
         snapshot expiry on incremental-read consumers.
         """
-        snap = self.refresh()  # never compact from a stale snapshot
-        if buckets is None:
-            buckets = sorted({f.bucket for f in snap.files if f.kind == "delta"})
-        new_snap = Snapshot(
-            snapshot_id=snap.snapshot_id + 1,
-            parent_id=snap.snapshot_id,
-            schema_json=snap.schema_json,
-            key_col=snap.key_col,
-            n_buckets=snap.n_buckets,
-            files=list(snap.files),
-            schemas=dict(snap.schemas),
-            watermarks=dict(snap.watermarks),
-            properties=dict(snap.properties),
-        )
-        self._compact_into(new_snap, list(buckets), gc_before_seq)
-        new_snap.summary = {"operation": "compact", "buckets": list(map(int, buckets))}
-        self._write_snapshot(new_snap)
-        return {"snapshot_id": new_snap.snapshot_id, "buckets": list(map(int, buckets))}
+        for _attempt in range(5):
+            snap = self.refresh()  # never compact from a stale snapshot
+            bs = (
+                sorted({f.bucket for f in snap.files if f.kind == "delta"})
+                if buckets is None
+                else list(buckets)
+            )
+            new_snap = Snapshot(
+                snapshot_id=snap.snapshot_id + 1,
+                parent_id=snap.snapshot_id,
+                schema_json=snap.schema_json,
+                key_col=snap.key_col,
+                n_buckets=snap.n_buckets,
+                files=list(snap.files),
+                schemas=dict(snap.schemas),
+                watermarks=dict(snap.watermarks),
+                properties=dict(snap.properties),
+            )
+            self._compact_into(new_snap, bs, gc_before_seq)
+            new_snap.summary = {
+                "operation": "compact",
+                "buckets": list(map(int, bs)),
+            }
+            try:
+                self._write_snapshot(new_snap)
+            except CommitConflict:
+                # A concurrent merge won the id: the fold is stale (it
+                # must include the winner's files) — redo from the new
+                # head; losing attempts' output files await vacuum.
+                continue
+            return {
+                "snapshot_id": new_snap.snapshot_id,
+                "buckets": list(map(int, bs)),
+            }
+        raise CommitConflict("compact lost 5 consecutive commit races")
 
     def delta_file_count(self) -> int:
         return sum(1 for f in self.snapshot.files if f.kind == "delta")
