@@ -131,6 +131,35 @@ def main(argv: list[str] | None = None) -> int:
     fd.add_argument("--cursor", required=True)
     fd.add_argument("--salt", type=int, default=None)
 
+    ic = sub.add_parser("index-create",
+                        help="create an inverted token index")
+    ic.add_argument("--index", required=True)
+    ic.add_argument("--buckets", type=int, default=16)
+    ic.add_argument("--tokens-col", default="tokens")
+
+    isy = sub.add_parser("index-sync",
+                         help="sync the token index from the table's "
+                              "changes feed (durable cursor)")
+    isy.add_argument("--table", required=True)
+    isy.add_argument("--index", required=True)
+    isy.add_argument("--cursor", required=True)
+    isy.add_argument("--compact", action="store_true",
+                     help="fold window appends after syncing")
+
+    ip = sub.add_parser("index-probe",
+                        help="docs containing a token (1-bucket read)")
+    ip.add_argument("--index", required=True)
+    ip.add_argument("--token", type=int, required=True)
+
+    cont = sub.add_parser("index-contaminated",
+                          help="docs containing a contiguous token "
+                               "sequence (candidates from the index, "
+                               "exact verify against the table)")
+    cont.add_argument("--table", required=True)
+    cont.add_argument("--index", required=True)
+    cont.add_argument("--tokens", required=True,
+                      help="comma-separated token sequence")
+
     args = p.parse_args(argv)
     spark = _session(args)
 
@@ -264,6 +293,44 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+    elif args.cmd == "index-create":
+        from ml_data_pipeline_spark.lake.token_index import TokenIndex
+
+        ix = TokenIndex.create(
+            spark,
+            args.index,
+            tokens_col=args.tokens_col,
+            n_buckets=args.buckets,
+        )
+        print(json.dumps({"created": ix.root, "buckets": args.buckets}))
+    elif args.cmd == "index-sync":
+        from ml_data_pipeline_spark.lake.feed import ChangesFeed
+        from ml_data_pipeline_spark.lake.token_index import TokenIndex
+
+        t = LakeTable.load(spark, args.table)
+        ix = TokenIndex.load(spark, args.index)
+        out = ix.sync(ChangesFeed(t, args.cursor))
+        if args.compact:
+            out.update(ix.compact())
+        print(json.dumps(out))
+    elif args.cmd == "index-probe":
+        from ml_data_pipeline_spark.lake.token_index import TokenIndex
+
+        ix = TokenIndex.load(spark, args.index)
+        docs = [r["doc_id"] for r in ix.postings(args.token).collect()]
+        print(json.dumps({"token": args.token, "n_docs": len(docs),
+                          "doc_ids": sorted(docs)[:50]}))
+    elif args.cmd == "index-contaminated":
+        from ml_data_pipeline_spark.lake.token_index import TokenIndex
+
+        t = LakeTable.load(spark, args.table)
+        ix = TokenIndex.load(spark, args.index)
+        seq = [int(x) for x in args.tokens.split(",") if x.strip()]
+        docs = sorted(
+            r[t.key_col] for r in ix.contaminated_docs(t, seq).collect()
+        )
+        print(json.dumps({"sequence": seq, "n_docs": len(docs),
+                          "doc_ids": docs[:50]}))
     elif args.cmd == "show":
         t = LakeTable.load(spark, args.table)
         snap = (

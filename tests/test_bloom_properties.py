@@ -1,0 +1,64 @@
+"""KeyBloom soundness/quality + XXH64 reference vectors (no Spark)."""
+
+from __future__ import annotations
+
+import random
+import string
+
+from ml_data_pipeline_spark.lake.bloom import (
+    bloom_build,
+    bloom_might_contain,
+    xxh64,
+)
+
+
+def test_xxh64_known_vectors():
+    """Public xxHash reference values (seed 0) — pins the port against
+    the spec, independent of Spark."""
+    assert xxh64(b"", seed=0) == 0xEF46DB3751D8E999
+    assert xxh64(b"a", seed=0) == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc", seed=0) == 0x44BC2CF5AD770999
+    # >32 bytes exercises the 4-lane block path
+    assert (
+        xxh64(b"xxhash is a fast non-cryptographic hash algorithm", seed=0)
+        == xxh64(b"xxhash is a fast non-cryptographic hash algorithm", seed=0)
+    )
+    # seed changes the hash
+    assert xxh64(b"abc", seed=1) != xxh64(b"abc", seed=0)
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr():
+    rng = random.Random(99)
+
+    def rand_key():
+        return "".join(
+            rng.choices(string.ascii_letters + string.digits, k=rng.randint(1, 24))
+        )
+
+    members = list({rand_key() for _ in range(2000)})
+    outside = list(
+        {rand_key() for _ in range(4000)} - set(members)
+    )[:2000]
+    b = bloom_build(members)
+    # soundness: NEVER a false negative
+    for k in members:
+        assert bloom_might_contain(b, k)
+    # quality: ~1% design FPR; assert a loose 5% bound
+    fp = sum(1 for k in outside if bloom_might_contain(b, k))
+    assert fp / len(outside) < 0.05, fp
+
+    # integer keys hash through the bigint path — same guarantees
+    imembers = list(range(0, 3000, 3))
+    ib = bloom_build(imembers)
+    for k in imembers:
+        assert bloom_might_contain(ib, k)
+    ifp = sum(1 for k in range(1, 3000, 3) if bloom_might_contain(ib, k))
+    assert ifp / 1000 < 0.05, ifp
+
+
+def test_bloom_empty_and_garbage():
+    b = bloom_build([])
+    assert not bloom_might_contain(b, "anything")
+    # un-parseable bloom must fail OPEN (never prune on doubt)
+    assert bloom_might_contain("not-base64!!", "x")
+    assert bloom_might_contain("", "x")

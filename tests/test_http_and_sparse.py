@@ -110,3 +110,32 @@ def test_sparse_on_embeddings_table(spark, sf_dir):
     for r in out:
         assert abs(r["s_dot"] - r["d_dot"]) < 1e-9
         assert r["density"] < 1.0
+
+
+def test_distributed_writers_are_retry_idempotent(spark, tmp_path):
+    """Deterministic per-partition filenames + atomic rename: writing
+    the SAME DataFrame into the same directory twice (the observable
+    effect of a retried/speculative task attempt) must republish the
+    same files — never add duplicates for readers to double-count."""
+    import glob as _glob
+
+    from ml_data_pipeline_spark.sources.arrow_ipc import read_ipc, write_ipc
+
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id long, v string"
+    ).repartition(4)
+    out = str(tmp_path / "ipc")
+    write_ipc(df, out)
+    first = sorted(_glob.glob(os.path.join(out, "*.arrow")))
+    write_ipc(df, out)  # the "retry"
+    second = sorted(_glob.glob(os.path.join(out, "*.arrow")))
+    assert first == second and 0 < len(first) <= 4
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    back = read_ipc(spark, os.path.join(out, "*.arrow"), schema)
+    assert back.count() == 100  # no duplicated rows
+    # no leftover temp files
+    assert not _glob.glob(os.path.join(out, ".part-*"))
