@@ -386,3 +386,36 @@ def string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("text", 1, 4), F.expr("substring(text, 8)")
         ).alias("del5_3"),
     ).orderBy("doc_id")
+
+
+def one_hot_encode(
+    df: DataFrame, col: str, categories: list | None = None
+) -> DataFrame:
+    """True one-hot encoding (reference T4, the feature-encode
+    transform): adds ``<col>_onehot`` — a fixed-width 0/1 int array,
+    one slot per category in sorted order — plus ``<col>_code``, the
+    dense index (-1 / all-zero vector for unseen categories).
+
+    The category vocabulary is tiny model state: supplied by the
+    caller or collected once from a distinct scan, then inlined as
+    literals so the encode itself is a pure codegen'd projection —
+    no join, no shuffle, scale-independent. (The pivot-style
+    aggregation ``pivot_event_type_counts`` is the AGGREGATING
+    cousin; this is the per-row feature transform.)
+    """
+    if categories is None:
+        categories = sorted(
+            r[0] for r in df.select(col).distinct().collect() if r[0] is not None
+        )
+    cats = list(categories)
+    code = F.lit(-1)
+    for i, c in enumerate(cats):
+        code = F.when(F.col(col) == F.lit(c), F.lit(i)).otherwise(code)
+    vec = F.array(
+        *[(F.col(col) == F.lit(c)).cast("int") for c in cats]
+    )
+    # unseen/null category → all-zero vector, not nulls
+    vec = F.transform(vec, lambda x: F.coalesce(x, F.lit(0)))
+    return df.withColumn(f"{col}_code", code).withColumn(
+        f"{col}_onehot", vec
+    )

@@ -139,3 +139,32 @@ def test_distributed_writers_are_retry_idempotent(spark, tmp_path):
     assert back.count() == 100  # no duplicated rows
     # no leftover temp files
     assert not _glob.glob(os.path.join(out, ".part-*"))
+
+
+def test_one_hot_encode(spark):
+    from ml_data_pipeline_spark.operators.encoding import one_hot_encode
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("b",), (None,), ("zz",)], "cat string"
+    )
+    out = one_hot_encode(df, "cat", categories=["a", "b", "c"]).collect()
+    got = {(r["cat"], r["cat_code"], tuple(r["cat_onehot"])) for r in out}
+    assert ("a", 0, (1, 0, 0)) in got
+    assert ("b", 1, (0, 1, 0)) in got
+    assert ("c", 2, (0, 0, 1)) in got
+    assert (None, -1, (0, 0, 0)) in got
+    assert ("zz", -1, (0, 0, 0)) in got
+
+    # vocabulary auto-collected when not supplied
+    auto = one_hot_encode(df, "cat")
+    row = {r["cat"]: r["cat_code"] for r in auto.collect()}
+    assert row["a"] == 0 and row["zz"] == 3  # sorted: a,b,c,zz
+
+    # pure projection: no join/shuffle in the encode plan
+    plan = (
+        one_hot_encode(df, "cat", categories=["a", "b"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
