@@ -62,3 +62,30 @@ def test_bloom_empty_and_garbage():
     # un-parseable bloom must fail OPEN (never prune on doubt)
     assert bloom_might_contain("not-base64!!", "x")
     assert bloom_might_contain("", "x")
+
+
+def test_feed_and_index_sync_stay_distributed():
+    """The CDC-feed pump and index sync must never materialize data on
+    the driver: no collect/toPandas/count in their hot paths (probe
+    APIs like containing_all/contaminated_docs are point lookups and
+    exempt)."""
+    import ast
+    import inspect
+    import textwrap
+
+    from ml_data_pipeline_spark.lake.feed import ChangesFeed
+    from ml_data_pipeline_spark.lake.token_index import TokenIndex
+
+    for fn in (ChangesFeed.pump_into, ChangesFeed.poll, TokenIndex.sync):
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+        actions = [
+            n.func.attr
+            for n in ast.walk(tree)
+            if isinstance(n, ast.Call)
+            and isinstance(n.func, ast.Attribute)
+            and n.func.attr in ("collect", "toPandas", "count")
+            and not (
+                isinstance(n.func.value, ast.Name) and n.func.value.id == "F"
+            )
+        ]
+        assert not actions, (fn.__qualname__, actions)
