@@ -72,6 +72,9 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--checkpoint", required=True)
     r.add_argument("--stream-id", default="cdc")
     r.add_argument("--max-files-per-trigger", type=int, default=64)
+    r.add_argument("--max-bytes-per-trigger", type=int, default=None,
+                   help="byte-denominated batch budget (replaces the "
+                        "file-count cap when set)")
     r.add_argument("--salt", type=int, default=None)
     r.add_argument("--compact-every", type=int, default=None)
     r.add_argument("--policy-compact", action="store_true",
@@ -136,6 +139,9 @@ def main(argv: list[str] | None = None) -> int:
     ic.add_argument("--index", required=True)
     ic.add_argument("--buckets", type=int, default=16)
     ic.add_argument("--tokens-col", default="tokens")
+    ic.add_argument("--stop-tokens", default=None,
+                    help="comma-separated ultra-common tokens to "
+                         "exclude from postings (skew bound)")
 
     isy = sub.add_parser("index-sync",
                          help="sync the token index from the table's "
@@ -218,6 +224,7 @@ def main(argv: list[str] | None = None) -> int:
             stream_id=args.stream_id,
             schema=schema,
             max_files_per_trigger=args.max_files_per_trigger,
+            max_bytes_per_trigger=args.max_bytes_per_trigger,
             salt=args.salt,
             compact_every=args.compact_every,
             compaction_policy=policy,
@@ -296,13 +303,20 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "index-create":
         from ml_data_pipeline_spark.lake.token_index import TokenIndex
 
+        stop = (
+            [int(x) for x in args.stop_tokens.split(",") if x.strip()]
+            if args.stop_tokens
+            else None
+        )
         ix = TokenIndex.create(
             spark,
             args.index,
             tokens_col=args.tokens_col,
             n_buckets=args.buckets,
+            stop_tokens=stop,
         )
-        print(json.dumps({"created": ix.root, "buckets": args.buckets}))
+        print(json.dumps({"created": ix.root, "buckets": args.buckets,
+                          "stop_tokens": stop or []}))
     elif args.cmd == "index-sync":
         from ml_data_pipeline_spark.lake.feed import ChangesFeed
         from ml_data_pipeline_spark.lake.token_index import TokenIndex

@@ -32,6 +32,7 @@ def run_replay(
     stream_id: str = "cdc",
     schema=None,
     max_files_per_trigger: int = 4,
+    max_bytes_per_trigger: int | None = None,
     salt: int | None = None,
     compact_every: int | None = None,
     compaction_policy=None,
@@ -117,13 +118,22 @@ def run_replay(
         ):
             raise _StopReplay()
 
+    reader = spark.readStream.schema(schema)
+    if max_bytes_per_trigger is not None:
+        # Byte-denominated batch budget (the memory-budget knob, O5):
+        # caps each micro-batch's INPUT bytes so per-batch working set
+        # scales with cluster memory, not with whatever file count the
+        # producer happened to cut. When set, it replaces the
+        # file-count cap (Spark's file source honors one admission
+        # limit per trigger; bytes is the principled one — binlog
+        # files vary in size).
+        reader = reader.option("maxBytesPerTrigger", int(max_bytes_per_trigger))
+    else:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     reader = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
         # Binlog segments live in chunk=K/ subdirectories; recursive
         # lookup reads them without partition-column inference.
-        .option("recursiveFileLookup", "true")
-        .parquet(events_dir)
+        reader.option("recursiveFileLookup", "true").parquet(events_dir)
     )
     q = (
         reader.writeStream.foreachBatch(handle)

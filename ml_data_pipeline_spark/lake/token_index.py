@@ -79,14 +79,29 @@ class TokenIndex:
         *,
         tokens_col: str = "tokens",
         n_buckets: int = 16,
+        stop_tokens: list[int] | None = None,
     ) -> "TokenIndex":
+        """``stop_tokens`` is the index's skew bound (the ngram
+        operator's stop-shingle cutoff, applied to postings): a token
+        present in nearly every document would add O(corpus) posting
+        rows to ONE bucket per window and answer no membership
+        question anyone asks. Stop tokens are excluded at sync time
+        and rejected at probe time (explicitly — never silently
+        empty)."""
         ix = cls(spark, root)
         os.makedirs(ix.root, exist_ok=True)
         if os.path.exists(ix.meta_path):
             raise ValueError(f"index already exists at {root}")
         tmp = ix.meta_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"tokens_col": tokens_col, "n_buckets": n_buckets}, f)
+            json.dump(
+                {
+                    "tokens_col": tokens_col,
+                    "n_buckets": n_buckets,
+                    "stop_tokens": sorted(set(map(int, stop_tokens or []))),
+                },
+                f,
+            )
         os.replace(tmp, ix.meta_path)
         return ix
 
@@ -118,6 +133,8 @@ class TokenIndex:
         """
         meta = self.meta
         tokens_col = meta["tokens_col"]
+        stop = meta.get("stop_tokens") or []
+        stop_lit = F.array(*[F.lit(int(t)) for t in stop])
         windows = 0
         while True:
             df, target = feed.poll(include_old=True)
@@ -132,6 +149,9 @@ class TokenIndex:
                 F.array_distinct(F.col(f"_old_{tokens_col}")),
                 F.array().cast("array<int>"),
             )
+            if stop:
+                new_tok = F.array_except(new_tok, stop_lit)
+                old_tok = F.array_except(old_tok, stop_lit)
             base = df.select(
                 F.col(key).alias("doc_id"),
                 ver,
@@ -194,10 +214,20 @@ class TokenIndex:
             F.col("_p.present").alias("present"),
         )
 
+    def _reject_stop(self, tokens) -> None:
+        stop = set(self.meta.get("stop_tokens") or [])
+        bad = sorted(stop & {int(t) for t in tokens})
+        if bad:
+            raise ValueError(
+                f"tokens {bad} are stop tokens — not indexed (skew "
+                f"bound); drop them from the probe"
+            )
+
     def postings(self, token: int) -> DataFrame:
         """Documents currently containing ``token`` — reads ONE bucket."""
         from ml_data_pipeline_spark.lake.bloom import spark_xxhash64
 
+        self._reject_stop([token])
         bucket = spark_xxhash64(int(token)) % self.meta["n_buckets"]
         raw = self._scan([bucket]).where(F.col("token") == int(token))
         return (
@@ -214,6 +244,7 @@ class TokenIndex:
         from ml_data_pipeline_spark.lake.bloom import spark_xxhash64
 
         toks = sorted({int(t) for t in tokens})
+        self._reject_stop(toks)
         buckets = sorted(
             {spark_xxhash64(t) % self.meta["n_buckets"] for t in toks}
         )
@@ -245,12 +276,22 @@ class TokenIndex:
         seq = [int(t) for t in sequence]
         if not seq:
             raise ValueError("empty sequence")
+        # stop tokens can't retrieve candidates but DO participate in
+        # the exact verify: probe on the informative subset only
+        stop = set(self.meta.get("stop_tokens") or [])
+        probe = [t for t in seq if t not in stop]
+        if not probe:
+            raise ValueError(
+                "every token in the sequence is a stop token — no "
+                "indexed candidate set exists; probe with at least one "
+                "informative token"
+            )
         snap = table.refresh()
         # Candidates are the probe's result set — small for any real
         # contamination query — so collecting their ids to prune the
         # verify scan to their buckets is the point-probe trade, same
         # as lookup().
-        cand_ids = [r["doc_id"] for r in self.containing_all(seq).collect()]
+        cand_ids = [r["doc_id"] for r in self.containing_all(probe).collect()]
         key = snap.key_col
         if not cand_ids:
             return self.spark.createDataFrame([], T.StructType([snap.schema[key]]))

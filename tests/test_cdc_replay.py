@@ -148,3 +148,20 @@ def test_advisory_tables_bounded_files_over_many_batches(spark, tmp_path):
     assert m.count() == 50
     assert m.where("skipped").count() == 0
     assert read_lineage(t).select("batch_id").distinct().count() == 50
+
+
+def test_replay_with_byte_denominated_batches(spark, tmp_path):
+    """maxBytesPerTrigger (the memory-budget knob): batch admission by
+    input bytes instead of file count — final state identical, and the
+    tiny budget forces a multi-batch replay."""
+    ev_dir = _gen(spark, tmp_path, shuffle_window=200)
+    t = create_docs_table(spark, str(tmp_path / "tbl"), n_buckets=4)
+    stats = run_replay(
+        spark,
+        t.root,
+        ev_dir,
+        str(tmp_path / "ckpt"),
+        max_bytes_per_trigger=30_000,
+    )
+    assert stats["batches"] > 1
+    _check(t, ev_dir)

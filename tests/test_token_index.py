@@ -146,3 +146,42 @@ def test_contaminated_docs_exact_subsequence(spark, tmp_path):
         .toString()
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_stop_tokens_bound_skew_and_still_verify(spark, tmp_path):
+    """A stop token (present in ~every doc) is excluded from postings
+    (the skew bound), rejected at probe time, but still participates
+    in contaminated_docs' exact verify via the informative subset."""
+    import pytest
+
+    t = create_docs_table(spark, str(tmp_path / "tbl"), n_buckets=2)
+    ix = TokenIndex.create(
+        spark, str(tmp_path / "ix"), n_buckets=4, stop_tokens=[7]
+    )
+    feed = ChangesFeed(t, str(tmp_path / "cursor.json"))
+    apply_batch(
+        t,
+        _events(
+            spark,
+            [
+                (1, "I", "a", [7, 1, 2], 3, "web", None),
+                (2, "I", "b", [7, 2, 1], 3, "web", None),
+                (3, "I", "c", [7, 9], 2, "web", None),
+            ],
+        ),
+        batch_id=0,
+        write_metrics=False,
+    )
+    ix.sync(feed)
+    # no postings rows exist for the stop token anywhere in the index
+    raw = ix._scan()
+    assert raw.where("token = 7").count() == 0
+    with pytest.raises(ValueError):
+        ix.postings(7)
+    with pytest.raises(ValueError):
+        ix.containing_all([7, 1])
+    # exact sequence verify still honors the stop token's POSITION
+    got = {r["doc_id"] for r in ix.contaminated_docs(t, [7, 1, 2]).collect()}
+    assert got == {"a"}  # b has 7,2,1 — candidate via {1,2}, fails verify
+    with pytest.raises(ValueError):
+        ix.contaminated_docs(t, [7])
