@@ -77,3 +77,46 @@ def test_feed_replicates_table_incrementally(spark, tmp_path):
     assert feed2.pump_into(b)["advanced"]
     assert _state(b) == _state(a)
     assert "d3" not in _state(b)
+
+
+def test_feed_replicates_through_schema_evolution(spark, tmp_path):
+    """Source table evolves mid-stream (new column): the feed's later
+    windows carry the evolved schema and the destination evolves
+    through its own merge path — final states equal column-for-column."""
+    from pyspark.sql import types as T
+
+    from ml_data_pipeline_spark.cdc.events import CHANGE_SCHEMA
+
+    a = create_docs_table(spark, str(tmp_path / "a"), n_buckets=2)
+    b = create_docs_table(spark, str(tmp_path / "b"), n_buckets=2)
+    feed = ChangesFeed(a, str(tmp_path / "cur" / "c.json"))
+
+    apply_batch(
+        a,
+        _events(spark, [(1, "I", "d1", [1], 1, "web", None),
+                        (2, "I", "d2", [2], 1, "web", None)]),
+        batch_id=0,
+        write_metrics=False,
+    )
+    feed.pump_into(b)
+
+    v2 = T.StructType(
+        CHANGE_SCHEMA.fields + [T.StructField("lang", T.StringType())]
+    )
+    ev2 = spark.createDataFrame(
+        [(3, "U", "d1", [9, 9], 2, "web", None, "en"),
+         (4, "I", "d3", [3], 1, "code", None, "de")],
+        v2,
+    )
+    apply_batch(a, ev2, batch_id=1, write_metrics=False)
+    feed.pump_into(b)
+
+    assert "lang" in b.schema.fieldNames()
+    sa = {
+        r["doc_id"]: (r["tokens"], r["lang"]) for r in a.read().collect()
+    }
+    sb = {
+        r["doc_id"]: (r["tokens"], r["lang"]) for r in b.read().collect()
+    }
+    assert sa == sb
+    assert sa["d1"] == ([9, 9], "en") and sa["d2"][1] is None
