@@ -275,9 +275,20 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
     elif args.cmd == "lookup":
+        from pyspark.sql import types as T
+
         t = LakeTable.load(spark, args.table)
-        n_files = len(t.lookup_files(args.key))
-        rows = [r.asDict() for r in t.lookup(args.key).collect()]
+        # argparse delivers a string; the driver-side bucket/bloom hash
+        # is type-sensitive (a bigint key hashes its 8 LE bytes, not
+        # its decimal string) — cast through the table's key type.
+        key_type = t.snapshot.schema[t.key_col].dataType
+        key = (
+            int(args.key)
+            if isinstance(key_type, (T.LongType, T.IntegerType, T.ShortType))
+            else args.key
+        )
+        n_files = len(t.lookup_files(key))
+        rows = [r.asDict() for r in t.lookup(key).collect()]
         print(
             json.dumps(
                 {"key": args.key, "files_scanned": n_files, "rows": rows},

@@ -180,11 +180,17 @@ def _advisory_append(dir_path: str, batch) -> None:
         folded = pa.concat_tables(tables)
         tmp = os.path.join(dir_path, f".fold-{_uuid.uuid4().hex}.tmp")
         pq.write_table(folded, tmp)
+        # Remove the parts BEFORE publishing the fold: a crash in
+        # between loses these advisory rows (consistent with the
+        # documented "a crash loses one metrics row, never a data
+        # commit" stance) — the reverse order would permanently
+        # DOUBLE-count every folded row on the next fold, corrupting
+        # rather than truncating the telemetry.
+        for f in files:
+            os.remove(os.path.join(dir_path, f))
         os.replace(
             tmp, os.path.join(dir_path, f"fold-{_uuid.uuid4().hex}.parquet")
         )
-        for f in files:
-            os.remove(os.path.join(dir_path, f))
 
 
 def _record(table: LakeTable, res: dict) -> None:

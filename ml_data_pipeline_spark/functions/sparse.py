@@ -29,7 +29,12 @@ from pyspark.sql import Column, functions as F
 
 def to_sparse(dense: Column) -> Column:
     """Dense ``array<numeric>`` → ``struct(size, indices, values)``
-    keeping only nonzero entries (0-based indices, ascending)."""
+    keeping only nonzero entries (0-based indices, ascending).
+
+    NULL elements are treated as zeros (dropped) — the COO contract
+    is "missing = zero", so ``from_sparse(to_sparse(x))`` maps NULLs
+    to 0, matching the reference's dense-fill semantics
+    (tensor.rs: sparse slots materialize as the zero value)."""
     indexed = F.filter(
         F.transform(
             dense, lambda v, i: F.struct(i.alias("i"), v.alias("v"))
@@ -57,7 +62,12 @@ def from_sparse(sp: Column, zero=None) -> Column:
             fill  # Catalyst coerces the literal to the value type
         )
 
-    return F.transform(F.sequence(F.lit(0), sp["size"] - 1), _at)
+    # guard size=0: sequence(0, -1) infers step -1 and yields [0, -1]
+    # — an empty vector must round-trip to an empty array, not [0, 0]
+    return F.when(
+        sp["size"] > 0,
+        F.transform(F.sequence(F.lit(0), sp["size"] - 1), _at),
+    ).otherwise(F.filter(sp["values"], lambda _: F.lit(False)))
 
 
 def sparse_dot(sp: Column, dense: Column) -> Column:

@@ -685,7 +685,16 @@ class LakeTable:
         (postings for tokens REMOVED by an update).
         """
         snap = self.refresh()
-        base = self.snapshot_by_id(since_snapshot_id)
+        try:
+            base = self.snapshot_by_id(since_snapshot_id)
+        except FileNotFoundError:
+            raise ValueError(
+                f"base snapshot {since_snapshot_id} has been expired by "
+                f"vacuum — this consumer's cursor predates the retention "
+                f"window; re-bootstrap it (full read + current snapshot "
+                f"as the new cursor) or raise vacuum keep_snapshots to "
+                f"cover the slowest consumer's lag"
+            ) from None
         base_paths = {f.path for f in base.files}
         added = [f for f in snap.files if f.path not in base_paths]
         payload = [f.name for f in snap.schema.fields if f.name != snap.key_col]
@@ -1230,14 +1239,32 @@ class LakeTable:
 
     # -------------------------------------------------------------- vacuum
 
-    def vacuum(self, keep_snapshots: int = 1) -> dict:
+    def vacuum(
+        self, keep_snapshots: int = 1, orphan_grace_sec: float = 3600.0
+    ) -> dict:
         """Delete data files unreachable from the ``keep_snapshots``
         most recent snapshots, and expire older snapshot metadata.
 
         Compaction/merge never delete files (snapshot isolation +
         time travel need them); vacuum is the explicit GC boundary —
-        after it, ``as_of_snapshot`` works only for kept snapshots.
+        after it, ``as_of_snapshot`` works only for kept snapshots,
+        and any ``changes()``/``ChangesFeed`` consumer whose cursor
+        predates the kept window must re-bootstrap — size
+        ``keep_snapshots`` to cover the slowest consumer's lag,
+        exactly like Iceberg gates ``expire_snapshots``.
+
+        Multi-writer safety: files referenced by NO snapshot at all
+        fall into two indistinguishable classes — losers of commit
+        races (garbage) and the in-flight, not-yet-committed write of
+        a CONCURRENT merge (deleting those would corrupt the commit
+        that is about to reference them). Never-referenced files are
+        therefore only deleted once older than ``orphan_grace_sec``
+        (no sane in-flight write outlives an hour); files referenced
+        by an EXPIRED snapshot were durably committed and superseded,
+        so they delete immediately.
         """
+        import time as _time
+
         current = self.refresh()
         snaps = self.history()
         kept = [
@@ -1248,13 +1275,25 @@ class LakeTable:
         referenced = {
             os.path.join(self.root, f.path) for s in kept for f in s.files
         }
+        ever_committed = {
+            os.path.join(self.root, f.path) for s in snaps for f in s.files
+        }
+        now = _time.time()
         removed_files = 0
         for dirpath, _dirs, files in os.walk(self.data_dir):
             for name in files:
                 full = os.path.join(dirpath, name)
-                if name.endswith(".parquet") and full not in referenced:
-                    os.remove(full)
-                    removed_files += 1
+                if not name.endswith(".parquet") or full in referenced:
+                    continue
+                if full not in ever_committed:
+                    try:
+                        age = now - os.path.getmtime(full)
+                    except OSError:
+                        continue
+                    if age < orphan_grace_sec:
+                        continue  # possibly an in-flight concurrent write
+                os.remove(full)
+                removed_files += 1
         # prune now-empty write directories
         for dirpath, dirs, files in os.walk(self.data_dir, topdown=False):
             if dirpath != self.data_dir and not dirs and not files:

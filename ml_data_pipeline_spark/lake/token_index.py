@@ -142,9 +142,16 @@ class TokenIndex:
                 return {"windows": windows, "cursor": feed.cursor}
             key = feed.table.snapshot.key_col
             ver = feed.table._version_expr(feed.table.snapshot).alias("ver")
-            new_tok = F.when(
-                ~F.col(DELETED_COL), F.array_distinct(F.col(tokens_col))
-            ).otherwise(F.array().cast("array<int>"))
+            # coalesce BOTH sides to empty: a live row whose tokens
+            # column is NULL (legal update) must retract all its old
+            # postings, not silently keep them (array_except(x, NULL)
+            # is NULL → no delete rows emitted)
+            new_tok = F.coalesce(
+                F.when(
+                    ~F.col(DELETED_COL), F.array_distinct(F.col(tokens_col))
+                ),
+                F.array().cast("array<int>"),
+            )
             old_tok = F.coalesce(
                 F.array_distinct(F.col(f"_old_{tokens_col}")),
                 F.array().cast("array<int>"),
@@ -314,8 +321,30 @@ class TokenIndex:
         return docs.where(F.exists(starts, _match_at)).select(key)
 
     def compact(self) -> dict:
-        """Fold all window appends into one reduced file per bucket."""
-        reduced = self._reduce(self._scan()).withColumn(
+        """Fold all window appends into one reduced file per bucket.
+
+        Single-maintainer operation (like ``sync``): the index has ONE
+        driver — the feed consumer that syncs it — so fold and sync
+        never run concurrently from different processes. The window
+        list is captured ONCE up front and only those directories are
+        folded and deleted, so even a misconfigured concurrent sync
+        loses nothing (its new window simply isn't part of this fold).
+        """
+        victims = sorted(
+            d for d in os.listdir(self.root) if d.startswith("win-")
+        )
+        paths = []
+        for w in victims:
+            wdir = os.path.join(self.root, w)
+            paths += [
+                os.path.join(wdir, b)
+                for b in os.listdir(wdir)
+                if b.startswith("bucket=")
+            ]
+        if not paths:
+            return {"folded_windows": 0}
+        raw = self.spark.read.schema(POSTING_SCHEMA).parquet(*paths)
+        reduced = self._reduce(raw).withColumn(
             "bucket", self._bucket_expr(F.col("token"))
         )
         out_dir = os.path.join(self.root, f"win-{uuid.uuid4().hex}")
@@ -324,13 +353,8 @@ class TokenIndex:
             .write.partitionBy("bucket")
             .parquet(out_dir)
         )
-        old = [
-            d
-            for d in os.listdir(self.root)
-            if d.startswith("win-") and os.path.join(self.root, d) != out_dir
-        ]
         import shutil
 
-        for d in old:
+        for d in victims:
             shutil.rmtree(os.path.join(self.root, d))
-        return {"folded_windows": len(old)}
+        return {"folded_windows": len(victims)}

@@ -402,25 +402,6 @@ def hash_sample_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def backward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Backward-fill (reference FillMethod::Backward,
-    timeseries.rs:173-184): next observed purchase value per user."""
-    e = load_table(spark, sf_dir, "events")
-    gapped = e.withColumn(
-        "v", F.when(F.col("event_type") == "purchase", F.col("value"))
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    return gapped.select(
-        "user_id",
-        "event_id",
-        F.first("v", ignorenulls=True).over(w).alias("bfilled_value"),
-    )
-
-
 def interpolate_linear_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation across gaps (reference FillMethod::Linear,
     timeseries.rs:173-184): value observed only on purchases; other

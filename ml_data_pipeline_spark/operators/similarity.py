@@ -69,6 +69,7 @@ def cosine_neardup_pairs(
     threshold: float = 0.5,
     quantizer: str = "sign",
     probes: int = 1,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Same-cell vector pairs with cosine ≥ threshold, via per-cell
     blocked GEMM.
@@ -102,7 +103,10 @@ def cosine_neardup_pairs(
 
     e = load_table(spark, sf_dir, "embeddings")
     if quantizer == "kmeans":
-        cents = ivf_quantizer(spark, sf_dir)
+        # `centroids` lets the caller train once (ivf_quantizer) and
+        # probe many times — training is model state, not per-query
+        # work.
+        cents = centroids or ivf_quantizer(spark, sf_dir)
         cells = _cells_expr(F.col("embedding"), cents, probes=probes)
     else:
         cells = F.array(_ivf_cell(F.col("embedding")))
@@ -385,6 +389,7 @@ def ivf_ann_topk(
     k: int = 3,
     quantizer: str = "sign",
     probes: int = 1,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: search only the query's coarse cell(s).
 
@@ -402,7 +407,9 @@ def ivf_ann_topk(
     """
     e = load_table(spark, sf_dir, "embeddings")
     if quantizer == "kmeans":
-        cents = ivf_quantizer(spark, sf_dir)
+        # pass `centroids` (from ivf_quantizer) to train once and
+        # probe many times
+        cents = centroids or ivf_quantizer(spark, sf_dir)
         cell_one = _cells_expr(F.col("embedding"), cents, probes=1)[0]
         q_cells = _cells_expr(F.col("embedding"), cents, probes=probes)
     else:

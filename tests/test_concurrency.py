@@ -140,3 +140,32 @@ def test_compact_loses_race_and_refolds(spark, tmp_path):
     assert t_b.delta_file_count() == 0
     docs = {r["doc_id"] for r in t_b.read().collect()}
     assert docs == {"a", "b"}
+
+
+def test_vacuum_spares_recent_uncommitted_files(spark, tmp_path):
+    """Review fix: a never-referenced RECENT file may be the in-flight
+    write of a concurrent merge — vacuum must not delete it until it
+    outlives the orphan grace period. Files referenced only by
+    EXPIRED snapshots delete immediately (committed garbage)."""
+    t = _mk(spark, tmp_path)
+    for b in range(3):
+        t.merge_batch(
+            _events(spark, [(b + 1, "I", f"d{b}", [b], 1, "web", None)]),
+            batch_id=b,
+        )
+    t.compact()  # folds deltas → the delta files become expired-only
+    # plant a fake in-flight write (never referenced, mtime = now)
+    inflight = os.path.join(t.data_dir, "inflight", "_bucket=0")
+    os.makedirs(inflight)
+    fresh = os.path.join(inflight, "part-x.parquet")
+    with open(fresh, "wb") as f:
+        f.write(b"PAR1fake")
+    res = t.vacuum(keep_snapshots=1)
+    assert os.path.exists(fresh), "in-flight file must survive vacuum"
+    assert res["removed_files"] > 0  # expired-snapshot files DID go
+    # once past the grace period, the same orphan is reclaimed
+    old = os.path.getmtime(fresh) - 7200
+    os.utime(fresh, (old, old))
+    res2 = t.vacuum(keep_snapshots=1)
+    assert not os.path.exists(fresh)
+    assert res2["removed_files"] >= 1

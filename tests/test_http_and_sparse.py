@@ -168,3 +168,24 @@ def test_one_hot_encode(spark):
         .toString()
     )
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_sparse_empty_and_null_elements(spark):
+    """Review regressions: size=0 must round-trip to [] (sequence(0,-1)
+    yields [0,-1] unguarded) and NULL elements map to zero (documented
+    missing=zero COO contract)."""
+    df = spark.createDataFrame(
+        [([],), ([0.0, 0.0],)], "dense array<double>"
+    ).withColumn("sp", to_sparse(F.col("dense")))
+    got = df.select(
+        F.size(from_sparse(F.col("sp"))).alias("n"),
+        from_sparse(F.col("sp")).alias("back"),
+    ).collect()
+    assert got[0]["n"] == 0 and got[0]["back"] == []
+    assert got[1]["back"] == [0.0, 0.0]
+
+    nulls = spark.createDataFrame(
+        [([1.0, None, 2.0],)], "dense array<double>"
+    ).withColumn("sp", to_sparse(F.col("dense")))
+    r = nulls.select(from_sparse(F.col("sp")).alias("back")).collect()[0]
+    assert r["back"] == [1.0, 0.0, 2.0]

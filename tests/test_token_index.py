@@ -185,3 +185,29 @@ def test_stop_tokens_bound_skew_and_still_verify(spark, tmp_path):
     assert got == {"a"}  # b has 7,2,1 — candidate via {1,2}, fails verify
     with pytest.raises(ValueError):
         ix.contaminated_docs(t, [7])
+
+
+def test_null_tokens_update_retracts_postings(spark, tmp_path):
+    """An update that sets tokens to NULL (legal) must retract ALL the
+    doc's old postings — found by review: array_except(old, NULL) is
+    NULL, which silently emitted no delete rows."""
+    t = create_docs_table(spark, str(tmp_path / "tbl"), n_buckets=2)
+    ix = TokenIndex.create(spark, str(tmp_path / "ix"), n_buckets=4)
+    feed = ChangesFeed(t, str(tmp_path / "cursor.json"))
+    apply_batch(
+        t,
+        _events(spark, [(1, "I", "a", [1, 2], 2, "web", None)]),
+        batch_id=0,
+        write_metrics=False,
+    )
+    ix.sync(feed)
+    assert {r["doc_id"] for r in ix.postings(1).collect()} == {"a"}
+    apply_batch(
+        t,
+        _events(spark, [(2, "U", "a", None, None, "web", None)]),
+        batch_id=1,
+        write_metrics=False,
+    )
+    ix.sync(feed)
+    assert ix.postings(1).count() == 0
+    assert ix.postings(2).count() == 0
