@@ -130,6 +130,172 @@ def bucket_of(value, n_buckets: int) -> int:
     return spark_xxhash64(value) % n_buckets
 
 
+# ------------------------------------------------------- vectorized XXH64
+#
+# Bloom building hashes every key of every freshly written file once per
+# commit; a per-key Python-loop XXH64 is ~µs/key and showed up as real
+# per-event CDC apply cost (round-3 verdict).  The batch path below runs
+# the same public XXH64 spec as ``xxh64`` above, but over a numpy
+# ``(n, L)`` byte matrix — all n keys of one length advance through the
+# algorithm together, so the per-key cost is ~L/8 numpy ops.  Wraparound
+# uint64 arithmetic is numpy's native behavior (C semantics), which is
+# exactly what the spec requires.  Bit-parity with the scalar port is
+# pinned by tests/test_bloom_properties.py.
+
+_U64 = np.uint64
+
+
+def _rotl_v(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << _U64(r)) | (x >> _U64(64 - r))
+
+
+def _round_v(acc, inp: np.ndarray) -> np.ndarray:
+    acc = acc + inp * _U64(_P2)
+    return _rotl_v(acc, 31) * _U64(_P1)
+
+
+def _xxh64_mat(mat: np.ndarray, seed: int = SPARK_SEED) -> np.ndarray:
+    """XXH64 of each row of a C-contiguous ``(n, L)`` uint8 matrix
+    (all inputs the same length L), as a uint64 array of length n."""
+    n, length = mat.shape
+
+    def blk8(off: int) -> np.ndarray:
+        return np.ascontiguousarray(mat[:, off : off + 8]).view("<u8").ravel()
+
+    def blk4(off: int) -> np.ndarray:
+        return (
+            np.ascontiguousarray(mat[:, off : off + 4])
+            .view("<u4")
+            .ravel()
+            .astype(np.uint64)
+        )
+
+    i = 0
+    if length >= 32:
+        v1 = np.full(n, (seed + _P1 + _P2) & _M, dtype=np.uint64)
+        v2 = np.full(n, (seed + _P2) & _M, dtype=np.uint64)
+        v3 = np.full(n, seed & _M, dtype=np.uint64)
+        v4 = np.full(n, (seed - _P1) & _M, dtype=np.uint64)
+        while i + 32 <= length:
+            v1 = _round_v(v1, blk8(i))
+            v2 = _round_v(v2, blk8(i + 8))
+            v3 = _round_v(v3, blk8(i + 16))
+            v4 = _round_v(v4, blk8(i + 24))
+            i += 32
+        h = (
+            _rotl_v(v1, 1) + _rotl_v(v2, 7) + _rotl_v(v3, 12) + _rotl_v(v4, 18)
+        )
+        for v in (v1, v2, v3, v4):
+            h = (h ^ _round_v(_U64(0), v)) * _U64(_P1) + _U64(_P4)
+    else:
+        h = np.full(n, (seed + _P5) & _M, dtype=np.uint64)
+    h = h + _U64(length)
+    while i + 8 <= length:
+        h = h ^ _round_v(_U64(0), blk8(i))
+        h = _rotl_v(h, 27) * _U64(_P1) + _U64(_P4)
+        i += 8
+    if i + 4 <= length:
+        h = h ^ (blk4(i) * _U64(_P1))
+        h = _rotl_v(h, 23) * _U64(_P2) + _U64(_P3)
+        i += 4
+    while i < length:
+        h = h ^ (mat[:, i].astype(np.uint64) * _U64(_P5))
+        h = _rotl_v(h, 11) * _U64(_P1)
+        i += 1
+    h ^= h >> _U64(33)
+    h = h * _U64(_P2)
+    h ^= h >> _U64(29)
+    h = h * _U64(_P3)
+    h ^= h >> _U64(32)
+    return h
+
+
+def _xxh64_flat(
+    data: np.ndarray, offsets: np.ndarray, seed: int = SPARK_SEED
+) -> np.ndarray:
+    """XXH64 of n variable-length byte strings stored flat: row i is
+    ``data[offsets[i]:offsets[i+1]]``.  Rows are grouped by length and
+    each group is hashed via the matrix kernel — keys of uniform width
+    (the common doc_id case) vectorize as a single group."""
+    offsets = offsets.astype(np.int64)
+    lengths = np.diff(offsets)
+    n = len(lengths)
+    out = np.empty(n, dtype=np.uint64)
+    for length in np.unique(lengths):
+        idx = np.nonzero(lengths == length)[0]
+        if length == 0:
+            out[idx] = _U64(xxh64(b"", seed))
+        else:
+            starts = offsets[idx]
+            mat = data[starts[:, None] + np.arange(int(length))[None, :]]
+            out[idx] = _xxh64_mat(np.ascontiguousarray(mat), seed)
+    return out
+
+
+def xxh64_batch(keys, seed: int = SPARK_SEED) -> np.ndarray:
+    """Spark-parity XXH64 of a batch of keys as a uint64 array.
+
+    Accepts a pyarrow (Chunked)Array of strings/integers, a numpy
+    integer array, or a Python sequence.  Integer keys hash their 8
+    little-endian bytes (Spark's hashLong path); string keys their
+    UTF-8 bytes — identical to ``spark_xxhash64`` per element."""
+    try:
+        import pyarrow as pa
+    except Exception:  # pragma: no cover - pyarrow is a hard dep in practice
+        pa = None
+    if pa is not None and isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if pa is not None and isinstance(keys, pa.Array):
+        if pa.types.is_integer(keys.type):
+            keys = keys.to_numpy(zero_copy_only=False)
+        else:
+            if pa.types.is_large_string(keys.type) or pa.types.is_large_binary(
+                keys.type
+            ):
+                keys = keys.cast(
+                    pa.binary()
+                    if pa.types.is_large_binary(keys.type)
+                    else pa.string()
+                )
+            if not (
+                pa.types.is_string(keys.type) or pa.types.is_binary(keys.type)
+            ):
+                keys = keys.cast(pa.string())
+            arr = keys
+            # Zero-copy flat view: validity is irrelevant for hashing
+            # (null keys cannot occur — key_col is the merge key).
+            buf_off, buf_data = arr.buffers()[1], arr.buffers()[2]
+            offsets = (
+                np.frombuffer(buf_off, dtype=np.int32, count=len(arr) + 1 + arr.offset)[
+                    arr.offset :
+                ]
+            )
+            data = (
+                np.frombuffer(buf_data, dtype=np.uint8)
+                if buf_data is not None
+                else np.empty(0, dtype=np.uint8)
+            )
+            return _xxh64_flat(data, offsets, seed)
+    if isinstance(keys, np.ndarray) and np.issubdtype(keys.dtype, np.integer):
+        mat = keys.astype("<i8").view(np.uint8).reshape(-1, 8)
+        return _xxh64_mat(mat, seed) if len(mat) else np.empty(0, dtype=np.uint64)
+    keys = list(keys)
+    if not keys:
+        return np.empty(0, dtype=np.uint64)
+    if isinstance(keys[0], (int, np.integer)):
+        mat = np.array(keys, dtype="<i8").view(np.uint8).reshape(-1, 8)
+        return _xxh64_mat(mat, seed)
+    encoded = [
+        k if isinstance(k, (bytes, bytearray)) else str(k).encode("utf-8")
+        for k in keys
+    ]
+    lengths = np.fromiter((len(e) for e in encoded), dtype=np.int64, count=len(encoded))
+    offsets = np.zeros(len(encoded) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    data = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+    return _xxh64_flat(data, offsets, seed)
+
+
 # ------------------------------------------------------------------ bloom
 
 _BLOOM_VERSION = 1
@@ -159,17 +325,20 @@ def _n_bits(n_keys: int) -> int:
 def bloom_build(keys) -> str:
     """Build a serialized bloom over an iterable/array of keys.
 
-    Vectorized per-probe via numpy; sized at ~10 bits/key (≈1% FPR at
+    Fully vectorized: one batched XXH64 over all keys (``xxh64_batch``)
+    supplies the (h1, h2) double-hash pair per key, then each of the 5
+    probes is one numpy scatter.  Sized at ~10 bits/key (≈1% FPR at
     5 probes), capped — an oversized file degrades to more false
-    positives, never false negatives.
+    positives, never false negatives.  Accepts a pyarrow Array
+    (zero-copy flat-buffer path) or any key sequence.
     """
-    keys = list(keys)
-    bits = _n_bits(len(keys))
+    hashes = xxh64_batch(keys)
+    bits = _n_bits(len(hashes))
     mask = bits - 1
     arr = np.zeros(bits // 8, dtype=np.uint8)
-    if keys:
-        pairs = np.array([_hash_pair(k) for k in keys], dtype=np.uint64)
-        h1, h2 = pairs[:, 0], pairs[:, 1]
+    if len(hashes):
+        h1 = hashes & _U64(0xFFFFFFFF)
+        h2 = ((hashes >> _U64(32)) | _U64(1)) & _U64(0xFFFFFFFF)
         for i in range(_N_HASHES):
             idx = (h1 + np.uint64(i) * h2) & np.uint64(mask)
             np.bitwise_or.at(arr, (idx >> np.uint64(3)).astype(np.int64),

@@ -358,60 +358,131 @@ class LakeTable:
         fp = _schema_fp(storage)
         write_id = uuid.uuid4().hex
         out_dir = os.path.join(self.data_dir, write_id)
-        writer = (
-            df.withColumn("_bucket", self.bucket_expr(snap=snap))
-            # One shuffle, hash-partitioned by bucket → ~one file per
-            # bucket per write; AQE coalesces near-empty partitions.
-            .repartition(F.col("_bucket"))
-            .write.partitionBy("_bucket")
-        )
-        for k, v in snap.properties.items():
-            writer = writer.option(k, v)
-        writer.parquet(out_dir)
-        found: list[tuple[str, int]] = []
-        for dirpath, _dirs, files in os.walk(out_dir):
-            base = os.path.basename(dirpath)
-            if not base.startswith("_bucket="):
-                continue
-            bucket = int(base.split("=", 1)[1])
-            for name in files:
-                if name.endswith(".parquet"):
-                    found.append((os.path.join(dirpath, name), bucket))
-        if not found:
-            return []
-
-        # Manifest job: rows + bytes + per-file key bloom, computed ON
-        # THE EXECUTORS (one tiny Spark job over the file list; page
-        # cache is warm from the write). The driver collects only
-        # (path, rows, bytes, bloom) tuples — no per-commit O(buckets)
-        # driver-side footer IO (at 4,096 buckets that serial metadata
-        # scan is exactly the fixed cost that Amdahl-caps a micro-batch
-        # pipeline, and on an object store it is 4,096 round-trips).
         key_col = snap.key_col
-        fdf = self.spark.createDataFrame(
-            found, "path string, bucket int"
-        ).repartition(min(len(found), 32))
+        props = snap.properties
+        # Parquet writer knobs (reference analog: writer.rs:37-56).
+        # parquet.bloom.filter.* is intentionally not forwarded: the
+        # lake's own per-file key blooms (built below, stored in the
+        # manifest) are what serve point lookups, and the pyarrow in
+        # this environment cannot write parquet-level blooms.
+        block_size = int(props.get("parquet.block.size", 128 * 1024 * 1024))
+        use_dict = props.get("parquet.enable.dictionary", "true").lower() != "false"
+        compression = props.get("parquet.compression", "snappy")
 
-        def _meta(batches):
+        # SINGLE-PASS write + manifest: one job hash-partitions by
+        # bucket, streams each partition's Arrow batches straight into
+        # per-bucket parquet writers ON THE EXECUTORS, and emits the
+        # manifest (path, bucket, rows, bytes, key-bloom) as the job's
+        # result. The key bloom is built from the batches already in
+        # memory — the round-3 design (Spark writer + a second job
+        # re-reading every new file's key column) paid a full extra
+        # key-column decode per commit, which at 10^10 events is real
+        # per-event cost and on an object store a read-after-write
+        # round-trip per file. Memory is bounded: batches are flushed
+        # to the open writer at ~parquet.block.size of buffered Arrow
+        # bytes (one row group), never buffering the whole partition.
+        # Task retries are safe: the final file name is deterministic
+        # per (write_id, partition, bucket) and published by atomic
+        # rename, so a re-run attempt overwrites identical content;
+        # orphaned .tmp files of failed attempts are swept by vacuum.
+        def _write(batches):
+            import pyarrow as pa
+            import pyarrow.compute as pc
             import pyarrow.parquet as pq
+            from pyspark import TaskContext
 
             from ml_data_pipeline_spark.lake.bloom import bloom_build
 
-            for pdf in batches:
-                pdf = pdf.copy()
-                rows_, bytes_, blooms = [], [], []
-                for p in pdf["path"]:
-                    pf = pq.ParquetFile(p)
-                    rows_.append(pf.metadata.num_rows)
-                    bytes_.append(os.path.getsize(p))
-                    keys = pf.read(columns=[key_col]).column(0).to_pylist()
-                    blooms.append(bloom_build(keys))
-                pdf["rows"], pdf["bytes"], pdf["bloom"] = rows_, bytes_, blooms
-                yield pdf
+            pid = TaskContext.get().partitionId()
+            states: dict[int, dict] = {}
 
-        manifest = fdf.mapInPandas(
-            _meta, "path string, bucket int, rows long, bytes long, bloom string"
-        ).collect()
+            def flush(st):
+                if st["buf"]:
+                    tbl = pa.Table.from_batches(st["buf"])
+                    # Row groups of ~parquet.block.size buffered Arrow
+                    # bytes (translated to a row count — pyarrow sizes
+                    # groups by rows, parquet-mr by bytes).
+                    if tbl.nbytes > block_size and tbl.num_rows > 1:
+                        rg_rows = max(
+                            1, int(tbl.num_rows * block_size / tbl.nbytes)
+                        )
+                    else:
+                        rg_rows = 1 << 30
+                    st["writer"].write_table(tbl, row_group_size=rg_rows)
+                    st["buf"] = []
+                    st["buf_bytes"] = 0
+
+            for batch in batches:
+                names = batch.schema.names
+                data_cols = [n for n in names if n != "_bucket"]
+                buckets = batch.column(names.index("_bucket"))
+                for b in pc.unique(buckets).to_pylist():
+                    mask = pc.equal(buckets, b)
+                    sub = batch.filter(mask).select(data_cols)
+                    st = states.get(b)
+                    if st is None:
+                        bdir = os.path.join(out_dir, f"_bucket={b}")
+                        os.makedirs(bdir, exist_ok=True)
+                        final = os.path.join(bdir, f"part-{pid:05d}.parquet")
+                        tmp = os.path.join(
+                            bdir, f".part-{pid:05d}-{uuid.uuid4().hex}.tmp"
+                        )
+                        st = states[b] = {
+                            "writer": pq.ParquetWriter(
+                                tmp,
+                                sub.schema,
+                                use_dictionary=use_dict,
+                                compression=compression,
+                            ),
+                            "tmp": tmp,
+                            "final": final,
+                            "buf": [],
+                            "buf_bytes": 0,
+                            "rows": 0,
+                            "keys": [],
+                        }
+                    st["buf"].append(sub)
+                    st["buf_bytes"] += sub.nbytes
+                    st["rows"] += sub.num_rows
+                    st["keys"].append(sub.column(data_cols.index(key_col)))
+                    if st["buf_bytes"] >= block_size:
+                        flush(st)
+            out = {"path": [], "bucket": [], "rows": [], "bytes": [], "bloom": []}
+            for b, st in states.items():
+                flush(st)
+                st["writer"].close()
+                os.replace(st["tmp"], st["final"])
+                out["path"].append(st["final"])
+                out["bucket"].append(b)
+                out["rows"].append(st["rows"])
+                out["bytes"].append(os.path.getsize(st["final"]))
+                out["bloom"].append(
+                    bloom_build(pa.chunked_array(st["keys"]).combine_chunks())
+                )
+            if out["path"]:
+                yield pa.RecordBatch.from_pydict(
+                    out,
+                    schema=pa.schema(
+                        [
+                            ("path", pa.string()),
+                            ("bucket", pa.int32()),
+                            ("rows", pa.int64()),
+                            ("bytes", pa.int64()),
+                            ("bloom", pa.string()),
+                        ]
+                    ),
+                )
+
+        manifest = (
+            df.withColumn("_bucket", self.bucket_expr(snap=snap))
+            # One shuffle, hash-partitioned by bucket → ~one file per
+            # bucket per write.
+            .repartition(F.col("_bucket"))
+            .mapInArrow(
+                _write, "path string, bucket int, rows long, bytes long, bloom string"
+            )
+            .collect()
+        )
         return [
             FileEntry(
                 path=os.path.relpath(r["path"], self.root),
@@ -1283,6 +1354,17 @@ class LakeTable:
         for dirpath, _dirs, files in os.walk(self.data_dir):
             for name in files:
                 full = os.path.join(dirpath, name)
+                if name.endswith(".tmp"):
+                    # Orphaned temp file of a failed/retried write
+                    # attempt (the single-pass writer publishes via
+                    # atomic rename); sweep once past the grace window.
+                    try:
+                        if now - os.path.getmtime(full) >= orphan_grace_sec:
+                            os.remove(full)
+                            removed_files += 1
+                    except OSError:
+                        pass
+                    continue
                 if not name.endswith(".parquet") or full in referenced:
                     continue
                 if full not in ever_committed:

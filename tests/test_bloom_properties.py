@@ -56,6 +56,37 @@ def test_bloom_no_false_negatives_and_bounded_fpr():
     assert ifp / 1000 < 0.05, ifp
 
 
+def test_xxh64_batch_parity():
+    """The vectorized batch hasher (used by bloom_build on the write
+    path) must be bit-identical to the scalar port for every input
+    class: variable-length strings (incl. empty and >32-byte block
+    path), integers, numpy arrays, and pyarrow string/large_string/
+    int64 arrays including non-zero-offset slices."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ml_data_pipeline_spark.lake.bloom import xxh64_batch, xxh64_long
+
+    rng = random.Random(11)
+    keys = [
+        "".join(rng.choices(string.printable, k=rng.randint(0, 90)))
+        for _ in range(300)
+    ] + ["doc_%06d" % i for i in range(300)] + [""]
+    want = np.array([xxh64(k.encode("utf-8")) for k in keys], dtype=np.uint64)
+    assert (xxh64_batch(keys) == want).all()
+    for typ in (pa.string(), pa.large_string()):
+        assert (xxh64_batch(pa.array(keys, type=typ)) == want).all()
+    sliced = pa.array(keys).slice(50, 400)
+    assert (xxh64_batch(sliced) == want[50:450]).all()
+
+    ints = [rng.randint(-(2**62), 2**62) for _ in range(500)]
+    iwant = np.array([xxh64_long(v) for v in ints], dtype=np.uint64)
+    assert (xxh64_batch(ints) == iwant).all()
+    assert (xxh64_batch(np.array(ints)) == iwant).all()
+    assert (xxh64_batch(pa.array(ints)) == iwant).all()
+    assert len(xxh64_batch([])) == 0
+
+
 def test_bloom_empty_and_garbage():
     b = bloom_build([])
     assert not bloom_might_contain(b, "anything")
