@@ -173,24 +173,34 @@ def _advisory_append(dir_path: str, batch) -> None:
         f for f in os.listdir(dir_path) if f.endswith(".parquet")
     )
     if len(files) >= ADVISORY_FOLD_AT:
-        tables = [
-            pq.read_table(os.path.join(dir_path, f), schema=batch.schema)
-            for f in files
-        ]
-        folded = pa.concat_tables(tables)
+        # Concurrent multi-process writers can share this directory
+        # (test_multiwriter_process); two folds racing must neither
+        # crash the stream (advisory work must not gate exactly-once)
+        # nor double-count. Removal acts as the claim: parts are
+        # removed BEFORE the fold is published, so a racer hits
+        # FileNotFoundError on a file its rival claimed and aborts
+        # without publishing — the race can LOSE advisory rows
+        # (consistent with the documented "a crash loses one metrics
+        # row, never a data commit" stance) but can never fold the
+        # same part twice.
         tmp = os.path.join(dir_path, f".fold-{_uuid.uuid4().hex}.tmp")
-        pq.write_table(folded, tmp)
-        # Remove the parts BEFORE publishing the fold: a crash in
-        # between loses these advisory rows (consistent with the
-        # documented "a crash loses one metrics row, never a data
-        # commit" stance) — the reverse order would permanently
-        # DOUBLE-count every folded row on the next fold, corrupting
-        # rather than truncating the telemetry.
-        for f in files:
-            os.remove(os.path.join(dir_path, f))
-        os.replace(
-            tmp, os.path.join(dir_path, f"fold-{_uuid.uuid4().hex}.parquet")
-        )
+        try:
+            tables = [
+                pq.read_table(os.path.join(dir_path, f), schema=batch.schema)
+                for f in files
+            ]
+            pq.write_table(pa.concat_tables(tables), tmp)
+            for f in files:
+                os.remove(os.path.join(dir_path, f))
+            os.replace(
+                tmp,
+                os.path.join(dir_path, f"fold-{_uuid.uuid4().hex}.parquet"),
+            )
+        except (OSError, pa.ArrowInvalid):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _record(table: LakeTable, res: dict) -> None:

@@ -81,10 +81,17 @@ class ChangesFeed:
         retract old contributions, e.g. the inverted token index).
         """
         cur = self.cursor
-        head = self.table.refresh().snapshot_id
-        if head <= cur:
+        head_snap = self.table.refresh()
+        if head_snap.snapshot_id <= cur:
             return None, cur
-        return self.table.changes(cur, include_old=include_old), head
+        # One refresh defines BOTH the window and the reported target:
+        # passing the head snapshot into changes() pins its upper
+        # bound, so a commit racing this poll cannot widen the
+        # delivered window past the cursor/batch-id we hand back.
+        return (
+            self.table.changes(cur, include_old=include_old, until_snap=head_snap),
+            head_snap.snapshot_id,
+        )
 
     # --------------------------------------------------------------- sink
 

@@ -271,9 +271,39 @@ class LakeTable:
             os.path.join(self.meta_dir, f"snapshot-{sid + 1}.json")
         ):
             sid += 1
-        with open(os.path.join(self.meta_dir, f"snapshot-{sid}.json")) as f:
-            self._snapshot = Snapshot.from_json(json.load(f))
+        try:
+            with open(
+                os.path.join(self.meta_dir, f"snapshot-{sid}.json")
+            ) as f:
+                self._snapshot = Snapshot.from_json(json.load(f))
+        except FileNotFoundError:
+            # A writer stalled between snapshot create and hint swap
+            # can regress the hint to an id vacuum has since expired;
+            # the forward probe then stops at the retention gap. Fall
+            # back to the max existing snapshot file and repair the
+            # hint so subsequent refreshes take the fast path again.
+            live = [
+                int(n[len("snapshot-") : -len(".json")])
+                for n in os.listdir(self.meta_dir)
+                if n.startswith("snapshot-") and n.endswith(".json")
+            ]
+            if not live:
+                raise
+            sid = max(live)
+            with open(
+                os.path.join(self.meta_dir, f"snapshot-{sid}.json")
+            ) as f:
+                self._snapshot = Snapshot.from_json(json.load(f))
+            self._write_hint(sid)
         return self._snapshot
+
+    def _write_hint(self, snapshot_id: int) -> None:
+        hint_tmp = os.path.join(self.meta_dir, f".hint-{uuid.uuid4().hex}.tmp")
+        with open(hint_tmp, "w") as f:
+            f.write(str(snapshot_id))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(hint_tmp, os.path.join(self.meta_dir, "version-hint.txt"))
 
     @property
     def snapshot(self) -> Snapshot:
@@ -324,12 +354,18 @@ class LakeTable:
                 f"writer"
             ) from None
         os.unlink(tmp)
-        hint_tmp = os.path.join(self.meta_dir, f".hint-{uuid.uuid4().hex}.tmp")
-        with open(hint_tmp, "w") as f:
-            f.write(str(snap.snapshot_id))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(hint_tmp, os.path.join(self.meta_dir, "version-hint.txt"))
+        # Best-effort guard against REGRESSING the hint (a stalled
+        # writer publishing late): skip the swap when the hint already
+        # points at or past this commit. Still racy by design — the
+        # hint is advisory and refresh() self-heals a bad hint.
+        try:
+            with open(os.path.join(self.meta_dir, "version-hint.txt")) as f:
+                if int(f.read().strip()) >= snap.snapshot_id:
+                    self._snapshot = snap
+                    return
+        except (OSError, ValueError):
+            pass
+        self._write_hint(snap.snapshot_id)
         self._snapshot = snap
 
     # ---------------------------------------------------------------- write
@@ -370,31 +406,35 @@ class LakeTable:
         compression = props.get("parquet.compression", "snappy")
 
         # SINGLE-PASS write + manifest: one job hash-partitions by
-        # bucket, streams each partition's Arrow batches straight into
-        # per-bucket parquet writers ON THE EXECUTORS, and emits the
-        # manifest (path, bucket, rows, bytes, key-bloom) as the job's
-        # result. The key bloom is built from the batches already in
-        # memory — the round-3 design (Spark writer + a second job
-        # re-reading every new file's key column) paid a full extra
-        # key-column decode per commit, which at 10^10 events is real
-        # per-event cost and on an object store a read-after-write
-        # round-trip per file. Memory is bounded: batches are flushed
-        # to the open writer at ~parquet.block.size of buffered Arrow
-        # bytes (one row group), never buffering the whole partition.
-        # Task retries are safe: the final file name is deterministic
-        # per (write_id, partition, bucket) and published by atomic
-        # rename, so a re-run attempt overwrites identical content;
-        # orphaned .tmp files of failed attempts are swept by vacuum.
+        # bucket, sorts each partition by bucket, and streams the Arrow
+        # batches straight into parquet ON THE EXECUTORS — one bucket
+        # (= one file) open at a time — emitting the manifest (path,
+        # bucket, rows, bytes, key-bloom) as the job's result. The key
+        # bloom is built from the batches already in memory — the
+        # round-3 design (Spark writer + a second job re-reading every
+        # new file's key column) paid a full extra key-column decode
+        # per commit, which at 10^10 events is real per-event cost and
+        # on an object store a read-after-write round-trip per file.
+        # Memory is bounded exactly like Spark's own sort-based
+        # dynamic-partition writer: the in-partition sort means ONE
+        # open writer whose buffer flushes as a row group at
+        # ~parquet.block.size of Arrow bytes, plus the current file's
+        # key column for the bloom. Task retries are safe: the final
+        # file name is deterministic per (write_id, partition, bucket)
+        # and published by atomic rename, so a re-run attempt
+        # overwrites identical content; orphaned .tmp files of failed
+        # attempts are swept by vacuum.
         def _write(batches):
+            import numpy as np
             import pyarrow as pa
-            import pyarrow.compute as pc
             import pyarrow.parquet as pq
             from pyspark import TaskContext
 
             from ml_data_pipeline_spark.lake.bloom import bloom_build
 
             pid = TaskContext.get().partitionId()
-            states: dict[int, dict] = {}
+            out = {"path": [], "bucket": [], "rows": [], "bytes": [], "bloom": []}
+            cur: dict | None = None
 
             def flush(st):
                 if st["buf"]:
@@ -412,22 +452,45 @@ class LakeTable:
                     st["buf"] = []
                     st["buf_bytes"] = 0
 
+            def finalize(st):
+                flush(st)
+                st["writer"].close()
+                os.replace(st["tmp"], st["final"])
+                out["path"].append(st["final"])
+                out["bucket"].append(st["bucket"])
+                out["rows"].append(st["rows"])
+                out["bytes"].append(os.path.getsize(st["final"]))
+                out["bloom"].append(
+                    bloom_build(pa.chunked_array(st["keys"]).combine_chunks())
+                )
+
             for batch in batches:
                 names = batch.schema.names
                 data_cols = [n for n in names if n != "_bucket"]
-                buckets = batch.column(names.index("_bucket"))
-                for b in pc.unique(buckets).to_pylist():
-                    mask = pc.equal(buckets, b)
-                    sub = batch.filter(mask).select(data_cols)
-                    st = states.get(b)
-                    if st is None:
+                key_idx = data_cols.index(key_col)
+                bvals = batch.column(names.index("_bucket")).to_numpy(
+                    zero_copy_only=False
+                )
+                # contiguous runs of equal bucket (input sorted by it)
+                edges = [0] + list(
+                    (np.nonzero(np.diff(bvals))[0] + 1).tolist()
+                ) + [len(bvals)]
+                for s, t in zip(edges, edges[1:]):
+                    if s == t:
+                        continue
+                    b = int(bvals[s])
+                    sub = batch.slice(s, t - s).select(data_cols)
+                    if cur is not None and cur["bucket"] != b:
+                        finalize(cur)
+                        cur = None
+                    if cur is None:
                         bdir = os.path.join(out_dir, f"_bucket={b}")
                         os.makedirs(bdir, exist_ok=True)
-                        final = os.path.join(bdir, f"part-{pid:05d}.parquet")
                         tmp = os.path.join(
                             bdir, f".part-{pid:05d}-{uuid.uuid4().hex}.tmp"
                         )
-                        st = states[b] = {
+                        cur = {
+                            "bucket": b,
                             "writer": pq.ParquetWriter(
                                 tmp,
                                 sub.schema,
@@ -435,30 +498,22 @@ class LakeTable:
                                 compression=compression,
                             ),
                             "tmp": tmp,
-                            "final": final,
+                            "final": os.path.join(
+                                bdir, f"part-{pid:05d}.parquet"
+                            ),
                             "buf": [],
                             "buf_bytes": 0,
                             "rows": 0,
                             "keys": [],
                         }
-                    st["buf"].append(sub)
-                    st["buf_bytes"] += sub.nbytes
-                    st["rows"] += sub.num_rows
-                    st["keys"].append(sub.column(data_cols.index(key_col)))
-                    if st["buf_bytes"] >= block_size:
-                        flush(st)
-            out = {"path": [], "bucket": [], "rows": [], "bytes": [], "bloom": []}
-            for b, st in states.items():
-                flush(st)
-                st["writer"].close()
-                os.replace(st["tmp"], st["final"])
-                out["path"].append(st["final"])
-                out["bucket"].append(b)
-                out["rows"].append(st["rows"])
-                out["bytes"].append(os.path.getsize(st["final"]))
-                out["bloom"].append(
-                    bloom_build(pa.chunked_array(st["keys"]).combine_chunks())
-                )
+                    cur["buf"].append(sub)
+                    cur["buf_bytes"] += sub.nbytes
+                    cur["rows"] += sub.num_rows
+                    cur["keys"].append(sub.column(key_idx))
+                    if cur["buf_bytes"] >= block_size:
+                        flush(cur)
+            if cur is not None:
+                finalize(cur)
             if out["path"]:
                 yield pa.RecordBatch.from_pydict(
                     out,
@@ -475,9 +530,10 @@ class LakeTable:
 
         manifest = (
             df.withColumn("_bucket", self.bucket_expr(snap=snap))
-            # One shuffle, hash-partitioned by bucket → ~one file per
-            # bucket per write.
+            # One shuffle, hash-partitioned then sorted by bucket →
+            # one file per bucket per write, one open writer at a time.
             .repartition(F.col("_bucket"))
+            .sortWithinPartitions("_bucket")
             .mapInArrow(
                 _write, "path string, bucket int, rows long, bytes long, bloom string"
             )
@@ -726,7 +782,10 @@ class LakeTable:
         return F.greatest(*parts) if len(parts) > 1 else parts[0]
 
     def changes(
-        self, since_snapshot_id: int, include_old: bool = False
+        self,
+        since_snapshot_id: int,
+        include_old: bool = False,
+        until_snap: "Snapshot | None" = None,
     ) -> DataFrame:
         """Incremental changes feed (Iceberg incremental-read analog):
         the net per-key change between ``since_snapshot_id`` and the
@@ -754,8 +813,15 @@ class LakeTable:
         version comparison) and required by derived views that must
         retract old contributions, e.g. the inverted token index
         (postings for tokens REMOVED by an update).
+
+        ``until_snap`` pins the window's upper bound to an explicit
+        snapshot (default: refresh to the current head). Consumers
+        that report a target snapshot id alongside the window — e.g.
+        ``ChangesFeed.poll`` — MUST pass the snapshot they report, or
+        a commit landing between their refresh and this call silently
+        widens the delivered window past the recorded cursor.
         """
-        snap = self.refresh()
+        snap = until_snap or self.refresh()
         try:
             base = self.snapshot_by_id(since_snapshot_id)
         except FileNotFoundError:

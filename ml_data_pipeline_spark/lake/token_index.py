@@ -278,8 +278,6 @@ class TokenIndex:
         ``exists`` over the token array (no UDF). The 100 TB of token
         arrays is touched only where a candidate lives.
         """
-        from ml_data_pipeline_spark.lake.bloom import bucket_of
-
         seq = [int(t) for t in sequence]
         if not seq:
             raise ValueError("empty sequence")
@@ -294,16 +292,30 @@ class TokenIndex:
                 "informative token"
             )
         snap = table.refresh()
-        # Candidates are the probe's result set — small for any real
-        # contamination query — so collecting their ids to prune the
-        # verify scan to their buckets is the point-probe trade, same
-        # as lookup().
-        cand_ids = [r["doc_id"] for r in self.containing_all(probe).collect()]
         key = snap.key_col
-        if not cand_ids:
+        # Candidate ids NEVER land on the driver (a pathological probe
+        # of two medium-frequency tokens can return millions): only
+        # their DISTINCT BUCKET ids are collected — bounded by
+        # n_buckets regardless of candidate count — to prune the
+        # verify scan's file list, and the ids themselves are applied
+        # as a semi-join executor-side (AQE turns it into a broadcast
+        # join when the candidate set is small, the common case).
+        cand = self.containing_all(probe)
+        bucket_rows = (
+            cand.select(
+                F.pmod(F.xxhash64("doc_id"), F.lit(snap.n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        if not bucket_rows:
             return self.spark.createDataFrame([], T.StructType([snap.schema[key]]))
-        buckets = sorted({bucket_of(c, snap.n_buckets) for c in cand_ids})
-        docs = table.read(buckets=buckets).where(F.col(key).isin(cand_ids))
+        buckets = sorted(r["b"] for r in bucket_rows)
+        docs = table.read(buckets=buckets).join(
+            cand.withColumnRenamed("doc_id", key), on=key, how="leftsemi"
+        )
         tok = F.col(self.meta["tokens_col"])
         length = len(seq)
 

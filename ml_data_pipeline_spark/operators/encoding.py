@@ -389,7 +389,10 @@ def string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def one_hot_encode(
-    df: DataFrame, col: str, categories: list | None = None
+    df: DataFrame,
+    col: str,
+    categories: list | None = None,
+    max_categories: int = 10_000,
 ) -> DataFrame:
     """True one-hot encoding (reference T4, the feature-encode
     transform): adds ``<col>_onehot`` — a fixed-width 0/1 int array,
@@ -402,11 +405,31 @@ def one_hot_encode(
     no join, no shuffle, scale-independent. (The pivot-style
     aggregation ``pivot_event_type_counts`` is the AGGREGATING
     cousin; this is the per-row feature transform.)
+
+    The inferred vocabulary is BOUNDED: collecting distinct values of
+    a high-cardinality column (a doc_id, a URL) is a driver OOM, not
+    a categorical — the distinct scan is capped at ``max_categories``
+    + 1 rows and raises ``ValueError`` when exceeded, directing the
+    caller to pass explicit ``categories`` (which also widens the
+    one-hot vector itself, a sign the encoding is wrong for the data).
     """
     if categories is None:
-        categories = sorted(
-            r[0] for r in df.select(col).distinct().collect() if r[0] is not None
-        )
+        sample = [
+            r[0]
+            for r in df.select(col)
+            .where(F.col(col).isNotNull())
+            .distinct()
+            .limit(max_categories + 1)
+            .collect()
+        ]
+        if len(sample) > max_categories:
+            raise ValueError(
+                f"one_hot_encode({col!r}): more than {max_categories} "
+                f"distinct values — this column is not categorical at "
+                f"one-hot width; pass explicit `categories` (or raise "
+                f"`max_categories`) if you really mean it"
+            )
+        categories = sorted(sample)
     cats = list(categories)
     code = F.lit(-1)
     for i, c in enumerate(cats):

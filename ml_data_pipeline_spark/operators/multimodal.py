@@ -103,6 +103,41 @@ def decode_image_stub(payload: bytes) -> "object":
     )
 
 
+def decode_image_real(payload: bytes) -> tuple[int, int, list[float]]:
+    """Real image decode (same interface as the fake codec): pillow,
+    imported lazily so environments without it keep working — call
+    sites pick this via ``image_codec()``. Returns (height, width,
+    4-bin luminance histogram normalized to [0, 1]), i.e. exactly the
+    fake codec's shape, so the decode → resize → feature pipeline is
+    codec-agnostic (reference analog: the image reader's eager decode
+    path, image.rs:160-500, which the reference itself stubs)."""
+    import io
+
+    from PIL import Image  # ImportError here = pillow not installed
+
+    with Image.open(io.BytesIO(payload)) as im:
+        gray = im.convert("L")
+        width, height = gray.size
+        counts = gray.histogram()  # 256 bins
+    total = max(1, height * width)
+    hist = [
+        round(sum(counts[i * 64 : (i + 1) * 64]) / total, 6) for i in range(4)
+    ]
+    return height, width, hist
+
+
+def image_codec():
+    """The best available codec under the shared (h, w, hist) interface:
+    pillow-backed when importable, else the deterministic fake (the
+    test-stable default in codec-less containers)."""
+    try:
+        import PIL  # noqa: F401
+
+        return decode_image_real
+    except ImportError:
+        return decode_image_fake
+
+
 def decode_image_fake(payload: bytes) -> tuple[int, int, list[float]]:
     """Deterministic FAKE decoder (container has no image libs): derives
     (height, width, 4-bin 'pixel histogram') purely from the payload
@@ -131,16 +166,20 @@ DECODED_SCHEMA = T.StructType(
 
 
 def decode_resize_pipeline(
-    spark: SparkSession, sf_dir: str, target: int = 32
+    spark: SparkSession, sf_dir: str, target: int = 32, codec=None
 ) -> DataFrame:
-    """Full multimodal pipeline shape: binary payload → decode (fake) →
+    """Full multimodal pipeline shape: binary payload → decode →
     aspect-preserving resize metadata → per-image features, as one
     Arrow-batched mapInPandas pass (reference: image reader's
     lazy/eager modes + resize preprocessing, image.rs:93-132,160-500).
 
-    Scale: one Python pass per partition, no driver involvement; the
-    binary column never leaves the executor.
+    ``codec`` is any (payload) → (h, w, hist) callable — default the
+    deterministic fake (the oracle-stable driver-contract path); pass
+    ``image_codec()`` to pick the pillow-backed real decoder when
+    installed. Scale: one Python pass per partition, no driver
+    involvement; the binary column never leaves the executor.
     """
+    codec = codec or decode_image_fake
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
@@ -149,7 +188,7 @@ def decode_resize_pipeline(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                h, w, hist = decode_image_fake(bytes(payload))
+                h, w, hist = codec(bytes(payload))
                 scale = target / max(h, w)
                 rows.append(
                     (

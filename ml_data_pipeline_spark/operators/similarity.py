@@ -245,13 +245,17 @@ def kmeans_fit(
     cluster, dist2)) where dist2 is the exact integer distance scaled
     by 10^12.
     """
-    # NOTE on the sf0.1 wall (~8 s): centroids are inlined as literals,
-    # so every iteration generates and JIT-compiles a fresh k×d-literal
-    # fold expression — a per-iteration FIXED cost (measured: persisting
-    # the scan input does not move it) that is noise at 10^9 vectors
-    # where the scan dominates. The alternative (explode + broadcast
-    # centroid join) compiles once but shuffles k rows per vector —
-    # strictly worse at scale, so the literal-fold shape stays.
+    # Centroids enter each iteration as broadcast DATA (a one-row
+    # array<array<bigint>> cross-joined in), not as inlined literals:
+    # the round-3 literal-fold shape regenerated a fresh k×d-literal
+    # expression tree every iteration, and the analyzer/codegen work
+    # over those ~k·d literal nodes was a measured per-iteration fixed
+    # cost (sf0.1 wall ~9.7 s). With data-borne centroids the plan
+    # source is IDENTICAL across iterations — compiled once, reused —
+    # while the executor-side arithmetic (zip_with/aggregate over
+    # bigint) is unchanged, so the exact fixed-point semantics and the
+    # DuckDB oracle stand. The broadcast is one row of k×d ints — not
+    # the k-rows-per-vector shuffle of a centroid JOIN.
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -259,23 +263,30 @@ def kmeans_fit(
             lambda x: F.round(x.cast("double") * KM_SCALE, 0).cast("bigint"),
         ).alias("ev"),
     )
+    # One materialization feeds all `iters` scans (MEMORY_AND_DISK —
+    # spills rather than OOMs at 10^9 vectors); released after the
+    # loop, so the returned lazy `assigned` plan rescans the source
+    # once more at execution time.
+    e = e.persist()
     init = (
         e.orderBy("vec_id").limit(k).select("ev").collect()
     )  # k rows — model state, not data
     centroids = [[int(x) for x in r["ev"]] for r in init]
 
-    def _dist2(c: list[int]):
-        lit = F.array(*[F.lit(int(x)).cast("bigint") for x in c])
-        return F.aggregate(
-            F.zip_with(F.col("ev"), lit, lambda a, b: (a - b) * (a - b)),
+    dists = F.transform(
+        F.col("_cents"),
+        lambda c: F.aggregate(
+            F.zip_with(F.col("ev"), c, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("bigint"),
             lambda acc, v: acc + v,
-        )
-
+        ),
+    )
     assigned = None
     for _ in range(iters):
-        dists = F.array(*[_dist2(c) for c in centroids])
-        assigned = e.select(
+        cents_df = spark.createDataFrame(
+            [(centroids,)], "_cents: array<array<bigint>>"
+        )
+        assigned = e.crossJoin(F.broadcast(cents_df)).select(
             "vec_id",
             "ev",
             (F.array_position(dists, F.array_min(dists)) - 1)
@@ -298,6 +309,7 @@ def kmeans_fit(
         for ci, dims in by_cluster.items():
             new_c[ci] = [dims[j] for j in sorted(dims)]
         centroids = new_c
+    e.unpersist(False)
     cent_f = [[c / KM_SCALE for c in row] for row in centroids]
     return cent_f, assigned
 

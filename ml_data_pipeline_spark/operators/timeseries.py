@@ -103,6 +103,106 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_id")
 
 
+# Named frequencies, matched by EXACT period like the reference's
+# period_ns table (timeseries.rs:47-63 — note Quarterly is the Rust
+# integer division 365/4 = 91 days, reproduced here).
+_NAMED_FREQS_US = [
+    ("yearly", 365 * 24 * 60 * 60 * 1_000_000),
+    ("quarterly", (365 // 4) * 24 * 60 * 60 * 1_000_000),
+    ("monthly", 30 * 24 * 60 * 60 * 1_000_000),
+    ("weekly", 7 * 24 * 60 * 60 * 1_000_000),
+    ("daily", 24 * 60 * 60 * 1_000_000),
+    ("hourly", 60 * 60 * 1_000_000),
+]
+
+
+def infer_frequency(
+    df: DataFrame,
+    time_col: str,
+    by: str | None = None,
+    regular_tolerance: float = 0.05,
+) -> DataFrame:
+    """Infer each series' dominant sampling frequency + regularity —
+    the reference's declared-but-stubbed detection (its
+    ``TimeSeriesMetadata`` carries frequency/is_regular,
+    timeseries.rs:205-232, but ``infer_schema_and_metadata`` hardcodes
+    ``is_regular: true``, :331; this implements the real thing).
+
+    Per series (``by`` key, or the whole frame): the mode of the
+    consecutive-timestamp deltas is the period; the frequency label
+    follows the reference's ``TimeSeriesFrequency`` model
+    (timeseries.rs:19-63) — named calendar periods on exact match,
+    else ``<n>min``/``<n>s``/``<n>ms``/``<n>us`` at the coarsest unit
+    that divides the period; ``variable`` when no delta repeats
+    enough. ``regularity_ratio`` = fraction of deltas equal to the
+    mode; ``is_regular`` ⇔ ratio ≥ 1 − tolerance.
+
+    Spark shape: one shuffle by the series key (lag window), then a
+    partially-aggregable groupBy(series, delta) count + one max-struct
+    reduce per series — no collect, no UDF; mode ties break to the
+    SMALLEST delta (deterministic).
+    """
+    key = by or "_all"
+    base = df if by else df.withColumn("_all", F.lit(1))
+    w = Window.partitionBy(key).orderBy(F.col(time_col).asc())
+    deltas = (
+        base.select(
+            key,
+            F.timestamp_diff(
+                "MICROSECOND",
+                F.lag(F.col(time_col)).over(w),
+                F.col(time_col),
+            ).alias("_d"),
+        )
+        .where(F.col("_d").isNotNull())
+    )
+    # mode per series: count per delta (map-side combinable), then a
+    # single max(struct(cnt, -delta)) reduce — skew-proof, no window
+    per_delta = deltas.groupBy(key, "_d").agg(F.count(F.lit(1)).alias("_n"))
+    mode = (
+        per_delta.groupBy(key)
+        .agg(
+            F.max(F.struct(F.col("_n"), (-F.col("_d")).alias("_nd"))).alias(
+                "_m"
+            ),
+            F.sum("_n").alias("n_deltas"),
+        )
+        .select(
+            key,
+            (-F.col("_m._nd")).alias("period_us"),
+            F.col("_m._n").alias("_mode_n"),
+            "n_deltas",
+        )
+    )
+    ratio = F.col("_mode_n") / F.col("n_deltas")
+    label = F.lit("variable")
+    # build the unit ladder from finest to coarsest so coarser wins
+    p = F.col("period_us")
+    for unit, per in (
+        ("us", 1),
+        ("ms", 1_000),
+        ("s", 1_000_000),
+        ("min", 60_000_000),
+    ):
+        label = F.when(
+            (p > 0) & (p % per == 0),
+            F.concat((p / per).cast("bigint").cast("string"), F.lit(unit)),
+        ).otherwise(label)
+    for name, per in _NAMED_FREQS_US:
+        label = F.when(p == per, F.lit(name)).otherwise(label)
+    out = mode.select(
+        key,
+        F.when(ratio >= 1 - regular_tolerance, label)
+        .otherwise(F.lit("variable"))
+        .alias("frequency"),
+        "period_us",
+        (ratio >= 1 - regular_tolerance).alias("is_regular"),
+        F.round(ratio, 4).alias("regularity_ratio"),
+        "n_deltas",
+    )
+    return out if by else out.drop("_all")
+
+
 def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long→wide reshape): per-user event counts by type.
 

@@ -150,6 +150,62 @@ def test_advisory_tables_bounded_files_over_many_batches(spark, tmp_path):
     assert read_lineage(t).select("batch_id").distinct().count() == 50
 
 
+def test_advisory_fold_race_never_raises(tmp_path, monkeypatch):
+    """Two processes sharing an advisory dir can race the fold; the
+    loser hitting a file its rival already claimed (removed) must
+    swallow the error — advisory work must never abort a streaming
+    query after the data commit succeeded — and must not publish a
+    double-counting fold."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ml_data_pipeline_spark.cdc.apply import (
+        ADVISORY_FOLD_AT,
+        _advisory_append,
+    )
+
+    d = str(tmp_path / "metrics")
+    os.makedirs(d)
+    batch = pa.table({"x": [1]})
+    for i in range(ADVISORY_FOLD_AT - 1):
+        pq.write_table(batch, os.path.join(d, f"part-{i:04d}.parquet"))
+
+    real_read = pq.read_table
+    calls = {"n": 0}
+
+    def flaky_read(path, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:  # rival claimed this part mid-fold
+            raise FileNotFoundError(path)
+        return real_read(path, **kw)
+
+    monkeypatch.setattr(pq, "read_table", flaky_read)
+    _advisory_append(d, batch)  # triggers the fold; must not raise
+    files = os.listdir(d)
+    assert not any(f.endswith(".tmp") for f in files)  # tmp cleaned up
+    assert not any(f.startswith("fold-") for f in files)  # no fold published
+    # parts survive minus none (abort happened before any removal)
+    assert sum(f.endswith(".parquet") for f in files) == ADVISORY_FOLD_AT
+
+    # and the same failure during REMOVAL also aborts unpublished
+    monkeypatch.setattr(pq, "read_table", real_read)
+    removed = {"n": 0}
+    real_remove = os.remove
+
+    def flaky_remove(path):
+        removed["n"] += 1
+        if removed["n"] == 2:
+            raise FileNotFoundError(path)
+        return real_remove(path)
+
+    monkeypatch.setattr(os, "remove", flaky_remove)
+    _advisory_append(d, batch)
+    monkeypatch.setattr(os, "remove", real_remove)
+    files = os.listdir(d)
+    assert not any(f.startswith("fold-") for f in files)
+    assert not any(f.endswith(".tmp") for f in files)
+
+
 def test_replay_with_byte_denominated_batches(spark, tmp_path):
     """maxBytesPerTrigger (the memory-budget knob): batch admission by
     input bytes instead of file count — final state identical, and the

@@ -90,6 +90,43 @@ def test_changes_feed_scans_only_new_and_touched(spark, tmp_path):
         assert os.path.basename(f.path) not in plan
 
 
+def test_poll_window_pinned_to_reported_target(spark, tmp_path):
+    """poll() must deliver EXACTLY the window ending at the snapshot id
+    it reports: a commit landing between poll's refresh and the
+    changes() scan must not widen the delivered window past the
+    recorded cursor (the round-3 double-refresh bug)."""
+    from ml_data_pipeline_spark.lake.feed import ChangesFeed
+
+    t = create_docs_table(spark, str(tmp_path / "tbl"), n_buckets=4)
+    ev0 = change_events_df(spark, 40, 400, seed=5)
+    t.merge_batch(ev0, batch_id=0)
+    head_snap = t.refresh()
+
+    # A rival handle commits AFTER our refresh; pinning the window to
+    # the refreshed snapshot must exclude the rival's rows.
+    rival = LakeTable.load(spark, t.root)
+    # (ev0.schema order is seq, doc_id, op, …)
+    ev1 = spark.createDataFrame(
+        [(10_000, "zz-late", "I", [7, 7], 2, "web", None)],
+        ev0.schema,
+    )
+    rival.merge_batch(ev1, batch_id=1)
+
+    window = t.changes(0, until_snap=head_snap)
+    docs = {r["doc_id"] for r in window.collect()}
+    assert "zz-late" not in docs
+    want = {r["doc_id"] for _, r in expected_state(ev0.toPandas()).iterrows()}
+    assert docs == want
+
+    # and the feed's poll/target pair is consistent end-to-end: a poll
+    # against the pre-rival cursor reports the CURRENT head and
+    # includes the rival's doc exactly once
+    feed = ChangesFeed(t, str(tmp_path / "cursor.json"))
+    df, target = feed.poll()
+    assert target == t.refresh().snapshot_id
+    assert "zz-late" in {r["doc_id"] for r in df.collect()}
+
+
 def test_changes_feed_patch_table(spark, tmp_path):
     """Patch overlays move a key's change version: a patch-only window
     emits the key's NEW merged full state."""

@@ -78,6 +78,37 @@ def test_refresh_probes_past_stale_hint(spark, tmp_path):
     assert fresh.snapshot.snapshot_id == sid + 1
 
 
+def test_refresh_repairs_hint_regressed_past_vacuum(spark, tmp_path):
+    """A writer stalled between snapshot create and hint swap can
+    regress the hint to an id vacuum has since expired; refresh()
+    must fall back to the max existing snapshot and repair the hint
+    instead of dying on the retention gap forever."""
+    t = _mk(spark, tmp_path)
+    for i in range(3):
+        t.merge_batch(
+            _events(spark, [(i + 1, "I", f"d{i}", [i], 1, "web", None)]),
+            batch_id=i,
+        )
+    head = t.snapshot.snapshot_id
+    t.vacuum(keep_snapshots=1, orphan_grace_sec=0.0)
+    # stalled writer publishes a hint pointing at an EXPIRED snapshot
+    with open(os.path.join(t.meta_dir, "version-hint.txt"), "w") as f:
+        f.write("1")
+    assert not os.path.exists(
+        os.path.join(t.meta_dir, "snapshot-1.json")
+    ), "precondition: snapshot 1 expired"
+    fresh = LakeTable.load(spark, t.root)
+    assert fresh.snapshot.snapshot_id == head
+    # hint self-healed: next refresh takes the fast path
+    with open(os.path.join(t.meta_dir, "version-hint.txt")) as f:
+        assert int(f.read().strip()) == head
+    # and a commit still works on the repaired table
+    fresh.merge_batch(
+        _events(spark, [(99, "I", "z", [9], 1, "web", None)]), batch_id=99
+    )
+    assert "z" in {r["doc_id"] for r in fresh.read().collect()}
+
+
 def test_racing_merges_rebase_and_keep_both(spark, tmp_path):
     t_a = _mk(spark, tmp_path)
     t_b = LakeTable.load(spark, t_a.root)

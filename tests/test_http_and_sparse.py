@@ -81,6 +81,75 @@ def test_sparse_roundtrip_and_dot(spark):
     assert "Python" not in plan.executedPlan().toString()
 
 
+def test_csr_batch_roundtrip_spmv(spark):
+    """CSR batch layout (reference schema.rs:126-138): group COO rows
+    into one CSR struct, verify indptr/indices/values against scipy-
+    style hand math, spmv against numpy, and the row-slice/decompose
+    inverses — all pure JVM expressions."""
+    import numpy as np
+
+    from ml_data_pipeline_spark.functions.sparse import (
+        csr_nnz,
+        csr_row,
+        csr_spmv,
+        csr_to_rows,
+        rows_to_csr,
+    )
+
+    dense = [
+        [0.0, 2.0, 0.0, 1.0],
+        [0.0, 0.0, 0.0, 0.0],  # empty row must survive the layout
+        [5.0, 0.0, 3.0, 0.0],
+    ]
+    vec = [1.0, 10.0, 100.0, 1000.0]
+    df = spark.createDataFrame(
+        [(0, "b", dense[0]), (1, "b", dense[1]), (2, "b", dense[2])],
+        "row_id int, batch string, dense array<double>",
+    ).withColumn("sp", to_sparse(F.col("dense")))
+    csr_df = (
+        df.groupBy("batch")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("row_id", "sp"))
+            ).alias("rows")
+        )
+        .select(
+            "batch",
+            rows_to_csr(
+                F.transform(F.col("rows"), lambda r: r["sp"]), 4
+            ).alias("csr"),
+        )
+    )
+    r = csr_df.collect()[0]["csr"]
+    assert r["n_rows"] == 3 and r["n_cols"] == 4
+    assert r["indptr"] == [0, 2, 2, 4]
+    assert r["indices"] == [1, 3, 0, 2]
+    assert r["values"] == [2.0, 1.0, 5.0, 3.0]
+
+    out = csr_df.select(
+        csr_spmv(F.col("csr"), F.array(*[F.lit(v) for v in vec])).alias("y"),
+        csr_nnz(F.col("csr")).alias("nnz"),
+        csr_row(F.col("csr"), 2).alias("r2"),
+        F.transform(
+            csr_to_rows(F.col("csr")), lambda sp: from_sparse(sp)
+        ).alias("back"),
+    ).collect()[0]
+    want_y = np.array(dense) @ np.array(vec)
+    assert np.allclose(out["y"], want_y)
+    assert out["nnz"] == 4
+    assert out["r2"]["indices"] == [0, 2] and out["r2"]["values"] == [5.0, 3.0]
+    assert [list(b) for b in out["back"]] == dense  # exact inverse
+
+    # pure JVM: no Python nodes anywhere in the CSR plan
+    plan = (
+        csr_df.select(csr_spmv(F.col("csr"), F.array(F.lit(1.0))))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+
+
 def test_sparse_on_embeddings_table(spark, sf_dir):
     """Sparsify real embeddings thresholded to mostly-zero, dot
     against the dense original: sparse_dot(sp(x'), x) must equal the
@@ -168,6 +237,19 @@ def test_one_hot_encode(spark):
         .toString()
     )
     assert "Exchange" not in plan and "Join" not in plan
+
+    # the auto-collected vocabulary is BOUNDED: a high-cardinality
+    # column must raise instead of collecting unbounded driver state
+    import pytest
+
+    wide = spark.range(50).select(
+        F.concat(F.lit("id-"), F.col("id")).alias("cat")
+    )
+    with pytest.raises(ValueError, match="not categorical"):
+        one_hot_encode(wide, "cat", max_categories=10)
+    # at exactly the cap it still works
+    ok = one_hot_encode(wide, "cat", max_categories=50)
+    assert len(ok.collect()[0]["cat_onehot"]) == 50
 
 
 def test_sparse_empty_and_null_elements(spark):

@@ -48,6 +48,43 @@ def test_fake_decoder_deterministic():
     assert 8 <= h < 64 and 8 <= w < 64 and len(hist) == 4
 
 
+def test_codec_selection_honest():
+    """image_codec() returns the real pillow decoder iff pillow is
+    importable, else the deterministic fake."""
+    from ml_data_pipeline_spark.operators.multimodal import (
+        decode_image_real,
+        image_codec,
+    )
+
+    try:
+        import PIL  # noqa: F401
+
+        assert image_codec() is decode_image_real
+    except ImportError:
+        assert image_codec() is decode_image_fake
+
+
+def test_real_codec_decodes_png():
+    """Real PNG → (h, w, hist) through the shared codec interface.
+    Skipped where pillow is absent (this container); the fake codec
+    covers the pipeline plumbing there."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from ml_data_pipeline_spark.operators.multimodal import decode_image_real
+
+    im = Image.new("L", (12, 7))
+    im.putdata([i % 256 for i in range(12 * 7)])
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    h, w, hist = decode_image_real(buf.getvalue())
+    assert (h, w) == (7, 12)
+    assert len(hist) == 4
+    assert abs(sum(hist) - 1.0) < 1e-4  # normalized luminance histogram
+
+
 def test_decode_resize_pipeline(spark, sf_dir):
     out = decode_resize_pipeline(spark, sf_dir, target=32).collect()
     assert len(out) > 0

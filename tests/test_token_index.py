@@ -138,7 +138,9 @@ def test_contaminated_docs_exact_subsequence(spark, tmp_path):
     assert ix.contaminated_docs(t, [1, 2, 3, 9, 9, 9, 9]).count() == 0
     # no candidates at all (token 42 indexed nowhere)
     assert ix.contaminated_docs(t, [42]).count() == 0
-    # verify stays JVM-side: no Python nodes in the verify plan
+    # verify stays JVM-side and candidates stay DISTRIBUTED: no Python
+    # nodes, candidate ids applied via a semi-join (never collected
+    # into a driver-side isin / LocalTableScan literal list)
     plan = (
         ix.contaminated_docs(t, [1, 2])
         ._jdf.queryExecution()
@@ -146,6 +148,8 @@ def test_contaminated_docs_exact_subsequence(spark, tmp_path):
         .toString()
     )
     assert "BatchEvalPython" not in plan
+    assert "LeftSemi" in plan
+    assert "LocalTableScan" not in plan
 
 
 def test_stop_tokens_bound_skew_and_still_verify(spark, tmp_path):
