@@ -111,12 +111,27 @@ def main() -> None:
     total_t0 = time.monotonic()
 
     spark = build_session(app_name="bench", cores=CPUS)
-    # Local-iteration escape hatch: skip the query suite when tuning
-    # the CDC bench (the driver never sets this).
+    # Local-iteration escape hatches: skip one half when tuning the
+    # other (the driver never sets either).
     if os.environ.get("BENCH_SKIP_QUERIES"):
         qtimes = {}
     else:
         qtimes = run_queries(spark)
+
+    if os.environ.get("BENCH_SKIP_CDC"):
+        spark.stop()
+        print(
+            json.dumps(
+                {
+                    "metric": "suite_wall",
+                    "value": round(time.monotonic() - total_t0, 3),
+                    "unit": "sec",
+                    "queries": qtimes,
+                    "sf": _sf_label(SF_DIR),
+                }
+            )
+        )
+        return
 
     # Generate the CDC input once (excluded from timing), reuse for
     # both parallelism levels.

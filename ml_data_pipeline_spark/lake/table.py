@@ -460,8 +460,15 @@ class LakeTable:
                 out["bucket"].append(st["bucket"])
                 out["rows"].append(st["rows"])
                 out["bytes"].append(os.path.getsize(st["final"]))
+                # LAKE_SKIP_BLOOM: bench A/B switch isolating the
+                # bloom-build cost (lookups degrade to bucket-pruned
+                # only — blooms are optional in FileEntry).
                 out["bloom"].append(
-                    bloom_build(pa.chunked_array(st["keys"]).combine_chunks())
+                    None
+                    if os.environ.get("LAKE_SKIP_BLOOM")
+                    else bloom_build(
+                        pa.chunked_array(st["keys"]).combine_chunks()
+                    )
                 )
 
             for batch in batches:

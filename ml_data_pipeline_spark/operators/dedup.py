@@ -225,6 +225,11 @@ _HEX = "0123456789abcdef"
 SIMHASH_BITS = 64
 SIMHASH_BANDS = 4
 BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16-bit band keys
+# Skip LSH buckets larger than this before the self-join: a 16-bit
+# band value shared by more docs than the cap is corpus bias, not
+# near-dup signal, and per-bucket pairs grow quadratically (see
+# simhash_bucket_pairs docstring).
+SIMHASH_MAX_BUCKET = 64
 
 
 def _md5_digit(h, k: int):
@@ -285,6 +290,18 @@ def simhash_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     by genuine near-duplicates, not by a 256-bucket birthday paradox.
     ``n_bands`` reports how many bands each pair agrees on (4 ⇒ very
     close; 1 ⇒ borderline candidate for downstream exact verification).
+
+    Degenerate-bucket cutoff (the LSH analog of the n-gram DF cutoff
+    and the token-index stop-token guard): a band value shared by more
+    than ``SIMHASH_MAX_BUCKET`` documents is corpus-wide bias (short
+    docs collapse whole bands toward the same pattern), not near-dup
+    signal, and its pair count grows QUADRATICALLY in occupancy — the
+    sf1 validation run measured 20× superlinear scaling without the
+    cap. Such buckets are skipped before the self-join, which bounds
+    per-bucket work at max_bucket² and makes the operator scale
+    linearly in documents; singleton buckets are dropped too (they
+    produce no pairs). Real near-dup clusters are orders of magnitude
+    smaller than the cap.
     """
     sig = simhash_signatures(spark, sf_dir)
     bands = [
@@ -298,7 +315,18 @@ def simhash_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = bands[0]
     for x in bands[1:]:
         banded = banded.unionAll(x)
-    a, b = banded.alias("a"), banded.alias("b")
+    counts = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    live = (
+        banded.join(
+            counts.where(
+                (F.col("_n") >= 2) & (F.col("_n") <= SIMHASH_MAX_BUCKET)
+            ),
+            ["band", "bucket"],
+        ).select("doc_id", "band", "bucket")
+    )
+    a, b = live.alias("a"), live.alias("b")
     return (
         a.join(
             b,

@@ -365,9 +365,20 @@ _ORACLES: dict[str, str] = {
             SELECT doc_id, 0 AS band, band0 AS bucket FROM sig
             UNION ALL SELECT doc_id, 1, band1 FROM sig
             UNION ALL SELECT doc_id, 2, band2 FROM sig
-            UNION ALL SELECT doc_id, 3, band3 FROM sig)
+            UNION ALL SELECT doc_id, 3, band3 FROM sig),
+        -- degenerate-bucket cutoff: see operators/dedup.py
+        -- SIMHASH_MAX_BUCKET (2..64 occupancy survives)
+        counts AS (
+            SELECT band, bucket, COUNT(*) AS n
+            FROM banded GROUP BY 1, 2),
+        live AS (
+            SELECT banded.doc_id, banded.band, banded.bucket
+            FROM banded JOIN counts
+              ON banded.band = counts.band
+             AND banded.bucket = counts.bucket
+            WHERE counts.n BETWEEN 2 AND 64)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
-        FROM banded a JOIN banded b
+        FROM live a JOIN live b
           ON a.band = b.band AND a.bucket = b.bucket
          AND a.doc_id < b.doc_id
         GROUP BY 1, 2
