@@ -91,10 +91,18 @@ class FileEntry:
     rows: int
     schema_fp: str  # fingerprint key into Snapshot.schemas
     bytes: int = 0  # on-disk size (drives size-tiered compaction)
-    # Serialized key-membership bloom (lake.bloom) built executor-side
-    # at write time; lets a point lookup skip files that provably lack
-    # the key. Optional — absent on pre-round-3 files (never pruned).
+    # Key-membership bloom (lake.bloom) built executor-side at write
+    # time; lets a point lookup skip files that provably lack the key.
+    # Since round 4 the bloom lives in a SIDECAR file next to the data
+    # file (``<path>.bloom``, flagged by ``bloom_sidecar``): inlining
+    # it in snapshot JSON made every commit rewrite — and every
+    # refresh parse — O(files × bloom_bytes) of base64 (at 4096
+    # buckets that is a 100s-of-MB snapshot, a real 100 TB cliff),
+    # where only point lookups ever need bloom bytes, and only for
+    # one bucket's files. ``key_bloom`` (inline) is still read for
+    # pre-round-4 snapshots. Absent both → never pruned (sound).
     key_bloom: str | None = None
+    bloom_sidecar: bool = False
 
     def to_json(self) -> dict:
         d = {
@@ -107,6 +115,8 @@ class FileEntry:
         }
         if self.key_bloom:
             d["key_bloom"] = self.key_bloom
+        if self.bloom_sidecar:
+            d["bloom_sidecar"] = True
         return d
 
     @staticmethod
@@ -119,6 +129,7 @@ class FileEntry:
             d["schema_fp"],
             d.get("bytes", 0),
             d.get("key_bloom"),
+            d.get("bloom_sidecar", False),
         )
 
 
@@ -211,6 +222,10 @@ class LakeTable:
         self.spark = spark
         self.root = os.path.abspath(root)
         self._snapshot: Snapshot | None = None
+        # Lazily-read sidecar blooms, keyed by relative data-file path.
+        # Data files are immutable, so entries never invalidate; the
+        # cache holds only buckets this handle actually probed.
+        self._bloom_cache: dict[str, str | None] = {}
 
     # ------------------------------------------------------------- lifecycle
 
@@ -433,7 +448,7 @@ class LakeTable:
             from ml_data_pipeline_spark.lake.bloom import bloom_build
 
             pid = TaskContext.get().partitionId()
-            out = {"path": [], "bucket": [], "rows": [], "bytes": [], "bloom": []}
+            out = {"path": [], "bucket": [], "rows": [], "bytes": [], "sidecar": []}
             cur: dict | None = None
 
             def flush(st):
@@ -460,16 +475,26 @@ class LakeTable:
                 out["bucket"].append(st["bucket"])
                 out["rows"].append(st["rows"])
                 out["bytes"].append(os.path.getsize(st["final"]))
+                # Bloom goes to a SIDECAR file (<data>.bloom, same
+                # tmp+rename protocol) instead of riding through the
+                # manifest into snapshot JSON: snapshot stays
+                # O(files), bloom bytes are read only by point
+                # lookups, only for the probed bucket's files, and
+                # are GC'd with their data file by vacuum.
                 # LAKE_SKIP_BLOOM: bench A/B switch isolating the
                 # bloom-build cost (lookups degrade to bucket-pruned
                 # only — blooms are optional in FileEntry).
-                out["bloom"].append(
-                    None
-                    if os.environ.get("LAKE_SKIP_BLOOM")
-                    else bloom_build(
+                if os.environ.get("LAKE_SKIP_BLOOM"):
+                    out["sidecar"].append(False)
+                else:
+                    b = bloom_build(
                         pa.chunked_array(st["keys"]).combine_chunks()
                     )
-                )
+                    btmp = st["final"] + f".{uuid.uuid4().hex}.tmp"
+                    with open(btmp, "w") as bf:
+                        bf.write(b)
+                    os.replace(btmp, st["final"] + ".bloom")
+                    out["sidecar"].append(True)
 
             for batch in batches:
                 names = batch.schema.names
@@ -530,7 +555,7 @@ class LakeTable:
                             ("bucket", pa.int32()),
                             ("rows", pa.int64()),
                             ("bytes", pa.int64()),
-                            ("bloom", pa.string()),
+                            ("sidecar", pa.bool_()),
                         ]
                     ),
                 )
@@ -542,7 +567,8 @@ class LakeTable:
             .repartition(F.col("_bucket"))
             .sortWithinPartitions("_bucket")
             .mapInArrow(
-                _write, "path string, bucket int, rows long, bytes long, bloom string"
+                _write,
+                "path string, bucket int, rows long, bytes long, sidecar boolean",
             )
             .collect()
         )
@@ -554,7 +580,7 @@ class LakeTable:
                 rows=int(r["rows"]),
                 schema_fp=fp,
                 bytes=int(r["bytes"]),
-                key_bloom=r["bloom"],
+                bloom_sidecar=bool(r["sidecar"]),
             )
             for r in manifest
         ]
@@ -732,12 +758,31 @@ class LakeTable:
             return live
         return live.select(*snap.schema.fieldNames())
 
+    def _file_bloom(self, f: FileEntry) -> str | None:
+        """The file's serialized key bloom: inline (pre-round-4
+        snapshots) or lazily read from its ``<path>.bloom`` sidecar,
+        cached per handle (data files are immutable). Missing/
+        unreadable sidecar → None → never pruned (sound)."""
+        if f.key_bloom:
+            return f.key_bloom
+        if not f.bloom_sidecar:
+            return None
+        if f.path not in self._bloom_cache:
+            try:
+                with open(os.path.join(self.root, f.path + ".bloom")) as bf:
+                    self._bloom_cache[f.path] = bf.read()
+            except OSError:
+                self._bloom_cache[f.path] = None
+        return self._bloom_cache[f.path]
+
     def lookup_files(self, key_value, snap: Snapshot | None = None) -> list[FileEntry]:
         """The files a point lookup must read: the key's bucket
         (computed DRIVER-SIDE via the ported XXH64 — no Spark job
         before the read), bloom-pruned to the files that might contain
         the key. Sound: blooms have no false negatives, so the
-        max-seq reduce over the surviving files is exact."""
+        max-seq reduce over the surviving files is exact. Bloom bytes
+        are touched only here, only for this one bucket's files (tiny
+        sidecar reads, cached) — never on the commit/refresh path."""
         from ml_data_pipeline_spark.lake.bloom import (
             bloom_might_contain,
             bucket_of,
@@ -745,14 +790,14 @@ class LakeTable:
 
         snap = snap or self.snapshot
         bucket = bucket_of(key_value, snap.n_buckets)
-        return [
-            f
-            for f in snap.files
-            if f.bucket == bucket
-            and (
-                not f.key_bloom or bloom_might_contain(f.key_bloom, key_value)
-            )
-        ]
+        out = []
+        for f in snap.files:
+            if f.bucket != bucket:
+                continue
+            b = self._file_bloom(f)
+            if not b or bloom_might_contain(b, key_value):
+                out.append(f)
+        return out
 
     def lookup(self, key_value) -> DataFrame:
         """Point lookup: scan ONLY the bloom-surviving files of the
@@ -1438,6 +1483,16 @@ class LakeTable:
                     except OSError:
                         pass
                     continue
+                if name.endswith(".bloom"):
+                    # Bloom sidecars live and die with their data file:
+                    # orphaned (parquet already gone) → sweep.
+                    if not os.path.exists(full[: -len(".bloom")]):
+                        try:
+                            os.remove(full)
+                            removed_files += 1
+                        except OSError:
+                            pass
+                    continue
                 if not name.endswith(".parquet") or full in referenced:
                     continue
                 if full not in ever_committed:
@@ -1449,6 +1504,11 @@ class LakeTable:
                         continue  # possibly an in-flight concurrent write
                 os.remove(full)
                 removed_files += 1
+                try:
+                    os.remove(full + ".bloom")
+                    removed_files += 1
+                except OSError:
+                    pass
         # prune now-empty write directories
         for dirpath, dirs, files in os.walk(self.data_dir, topdown=False):
             if dirpath != self.data_dir and not dirs and not files:

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -207,6 +209,17 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     assert after == new
     with pytest.raises(FileNotFoundError):
         t.read(as_of_snapshot=snap1).collect()
+    # bloom sidecars are GC'd with their data files: none orphaned
+    live_parquet = set()
+    for dirpath, _dirs, files in os.walk(t.data_dir):
+        for name in files:
+            full = os.path.join(dirpath, name)
+            if name.endswith(".parquet"):
+                live_parquet.add(full)
+            elif name.endswith(".bloom"):
+                assert full[: -len(".bloom")] in live_parquet or os.path.exists(
+                    full[: -len(".bloom")]
+                ), f"orphaned bloom sidecar {full}"
 
 
 def test_quarantine_bad_records(spark, tmp_path):
@@ -284,7 +297,14 @@ def test_point_lookup_bloom_prunes_files(spark, tmp_path):
         t.merge_batch(_events(spark, rows), batch_id=b)
     snap = t.refresh()
     assert len(snap.files) == 8
-    assert all(f.key_bloom for f in snap.files)
+    # blooms live in sidecars (snapshot JSON stays O(files)): every
+    # file is flagged, its sidecar exists, and the handle can read it
+    assert all(f.bloom_sidecar and not f.key_bloom for f in snap.files)
+    assert all(
+        os.path.exists(os.path.join(t.root, f.path + ".bloom"))
+        for f in snap.files
+    )
+    assert all(t._file_bloom(f) for f in snap.files)
     cand = t.lookup_files("d3_7")
     assert len(cand) <= 2, [f.path for f in cand]  # ~1 + rare false positives
     got = t.lookup("d3_7").collect()
