@@ -154,10 +154,15 @@ def main() -> None:
     reps = int(os.environ.get("BENCH_CDC_REPS", "4"))
     try:
         r_n = bench_cdc_at(SCALE_N, events_dir, n_dup, reps=reps)
-        # The 4N JVM warms slower (4× compilation/GC adaptation) and its
-        # reps are ~4× cheaper — give it three extra to reach steady
-        # state (measured walls keep descending through rep ~5).
-        r_4n = bench_cdc_at(SCALE_N * 4, events_dir, n_dup, reps=reps + 3)
+        # The 4N JVM warms slower (4× compilation/GC adaptation) and
+        # its reps are ~4× cheaper — give it six extra: walls keep
+        # descending through rep ~5, and with best-of-reps efficiency
+        # a single noisy 4N window against a lucky-fast N floor
+        # under-reports the engine (observed 0.75 on one sample whose
+        # 4N best was 20.6 s where three sibling runs floor at ~17 s;
+        # the N floor is stable at ~60 s). Extra cheap 4N reps make
+        # the 4N floor as converged as the N floor it is divided by.
+        r_4n = bench_cdc_at(SCALE_N * 4, events_dir, n_dup, reps=reps + 6)
     finally:
         shutil.rmtree(events_dir, ignore_errors=True)
     tp_n, tp_4n = r_n["events_per_sec"], r_4n["events_per_sec"]
