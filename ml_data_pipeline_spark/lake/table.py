@@ -413,9 +413,10 @@ class LakeTable:
         props = snap.properties
         # Parquet writer knobs (reference analog: writer.rs:37-56).
         # parquet.bloom.filter.* is intentionally not forwarded: the
-        # lake's own per-file key blooms (built below, stored in the
-        # manifest) are what serve point lookups, and the pyarrow in
-        # this environment cannot write parquet-level blooms.
+        # lake's own per-file key blooms (built below, stored as
+        # <file>.bloom sidecars) are what serve point lookups, and the
+        # pyarrow in this environment cannot write parquet-level
+        # blooms.
         block_size = int(props.get("parquet.block.size", 128 * 1024 * 1024))
         use_dict = props.get("parquet.enable.dictionary", "true").lower() != "false"
         compression = props.get("parquet.compression", "snappy")
