@@ -420,6 +420,9 @@ class LakeTable:
         block_size = int(props.get("parquet.block.size", 128 * 1024 * 1024))
         use_dict = props.get("parquet.enable.dictionary", "true").lower() != "false"
         compression = props.get("parquet.compression", "snappy")
+        # Captured DRIVER-side so the switch works regardless of how
+        # executor worker processes inherit their environment.
+        skip_bloom = bool(os.environ.get("LAKE_SKIP_BLOOM"))
 
         # SINGLE-PASS write + manifest: one job hash-partitions by
         # bucket, sorts each partition by bucket, and streams the Arrow
@@ -485,7 +488,7 @@ class LakeTable:
                 # LAKE_SKIP_BLOOM: bench A/B switch isolating the
                 # bloom-build cost (lookups degrade to bucket-pruned
                 # only — blooms are optional in FileEntry).
-                if os.environ.get("LAKE_SKIP_BLOOM"):
+                if skip_bloom:
                     out["sidecar"].append(False)
                 else:
                     b = bloom_build(

@@ -281,6 +281,29 @@ def test_driver_side_bucket_parity(spark):
         assert spark_xxhash64(r["k"]) == r["h"], r["k"]
 
 
+def test_lookup_correct_without_blooms(spark, tmp_path, monkeypatch):
+    """LAKE_SKIP_BLOOM (the bench A/B switch) must only widen the
+    lookup's file set, never change its answer."""
+    monkeypatch.setenv("LAKE_SKIP_BLOOM", "1")
+    t = LakeTable.create(
+        spark, str(tmp_path / "tbl"), DOC_SCHEMA, key_col="doc_id", n_buckets=2
+    )
+    rows = [(i, "I", f"d{i}", [i], 1, "web", None) for i in range(10)]
+    t.merge_batch(_events(spark, rows), batch_id=0)
+    snap = t.refresh()
+    assert all(not f.bloom_sidecar and not f.key_bloom for f in snap.files)
+    got = t.lookup("d3").collect()
+    assert len(got) == 1 and got[0]["tokens"] == [3]
+    assert t.lookup("absent").count() == 0
+    # lookup_files falls back to the whole bucket (no pruning, sound)
+    from ml_data_pipeline_spark.lake.bloom import bucket_of
+
+    b = bucket_of("d3", 2)
+    assert {f.path for f in t.lookup_files("d3")} == {
+        f.path for f in snap.files if f.bucket == b
+    }
+
+
 def test_point_lookup_bloom_prunes_files(spark, tmp_path):
     """On a bucket holding many delta files, a point lookup must read
     only the file(s) that can contain the key (bloom pruning), and the
