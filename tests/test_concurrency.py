@@ -131,6 +131,12 @@ def test_racing_merges_rebase_and_keep_both(spark, tmp_path):
     assert docs == {"a", "b"}
     assert t_b.snapshot.watermarks["default"] == 2
     assert t_b.snapshot.parent_id == res["snapshot_id"] - 1
+    # sidecar blooms rode through the rebase with their (immutable)
+    # delta files: every committed file is flagged, and bloom-pruned
+    # point lookups work on the post-race table
+    assert all(f.bloom_sidecar for f in t_b.snapshot.files)
+    assert t_b.lookup("a").collect()[0]["tokens"] == [1, 2]
+    assert t_b.lookup("b").collect()[0]["tokens"] == [3]
 
 
 def test_racing_same_batch_skips_exactly_once(spark, tmp_path):
