@@ -133,6 +133,13 @@ def main(argv: list[str] | None = None) -> int:
     fd.add_argument("--dest", required=True)
     fd.add_argument("--cursor", required=True)
     fd.add_argument("--salt", type=int, default=None)
+    fd.add_argument(
+        "--bootstrap",
+        action="store_true",
+        help="full (re-)sync into an EMPTY dest (the recovery for a "
+             "cursor expired by vacuum), then resume incrementally; "
+             "also repairs a crashed pump's lost cursor commit",
+    )
 
     ic = sub.add_parser("index-create",
                         help="create an inverted token index")
@@ -301,16 +308,18 @@ def main(argv: list[str] | None = None) -> int:
         t = LakeTable.load(spark, args.table)
         dest = LakeTable.load(spark, args.dest)
         feed = ChangesFeed(t, args.cursor)
+        boot = None
+        if args.bootstrap:
+            boot = feed.bootstrap(dest, salt=args.salt)
         windows = feed.pump_all(dest, salt=args.salt)
-        print(
-            json.dumps(
-                {
-                    "windows": windows,
-                    "cursor": feed.cursor,
-                    "dest_rows": dest.read().count(),
-                }
-            )
-        )
+        out = {
+            "windows": windows,
+            "cursor": feed.cursor,
+            "dest_rows": dest.read().count(),
+        }
+        if boot is not None:
+            out["bootstrap"] = boot
+        print(json.dumps(out))
     elif args.cmd == "index-create":
         from ml_data_pipeline_spark.lake.token_index import TokenIndex
 

@@ -37,7 +37,7 @@ import json
 import os
 import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ml_data_pipeline_spark.lake.table import LakeTable
 
@@ -153,3 +153,72 @@ class ChangesFeed:
             if not out["advanced"]:
                 return n
             n += 1
+
+    # ---------------------------------------------------------- bootstrap
+
+    def bootstrap(
+        self,
+        dest: LakeTable,
+        *,
+        stream_id: str = "changes-feed",
+        salt: int | None = None,
+    ) -> dict:
+        """Full (re-)sync for a consumer that cannot read its window
+        incrementally — the recovery `changes()` directs you to when
+        the cursor predates vacuum retention.
+
+        Delivers the source's CURRENT state as upsert events carrying
+        each row's change version as ``seq`` into an EMPTY destination,
+        with ``batch_id`` = the source snapshot id, then commits the
+        cursor there — after which ``poll``/``pump_into`` resume
+        incrementally with no gap.
+
+        The destination must be EMPTY (recreate it to re-bootstrap):
+        a full-state load cannot synthesize correct delete tombstones
+        for stale keys an old replica holds — any tombstone seq we
+        could pick either loses to the stale row or can tie a future
+        source seq — so rather than an almost-right replica, this
+        insists on an exact one.
+
+        Crash repair: if the destination carries this stream's batch
+        watermark AHEAD of the cursor (a bootstrap or pump applied its
+        merge but died before the cursor commit), the data is already
+        exactly-once durable — the cursor is simply advanced to the
+        watermark and no data is rewritten.
+        """
+        snap = self.table.refresh()
+        dsnap = dest.refresh()
+        wm = dsnap.watermarks.get(stream_id)
+        if wm is not None and self.cursor < wm:
+            # merge committed, cursor commit lost — finish the commit.
+            self.commit(wm)
+            return {"bootstrapped": False, "recovered": True, "cursor": wm}
+        if dsnap.files:
+            raise ValueError(
+                "bootstrap requires an EMPTY destination (recreate the "
+                "dest table): a full-state load cannot emit delete "
+                "tombstones for stale keys a lagging replica may hold"
+            )
+        key = snap.key_col
+        payload = snap.payload_cols()
+        ver = self.table._version_expr(snap)
+        state = self.table.read(include_hidden=True)
+        events = state.select(
+            F.lit("U").alias("op"), ver.alias("seq"), key, *payload
+        )
+        res = dest.merge_batch(
+            events,
+            seq_col="seq",
+            op_col="op",
+            batch_id=snap.snapshot_id,
+            stream_id=stream_id,
+            exclude_cols=(),
+            salt=salt,
+        )
+        self.commit(snap.snapshot_id)
+        return {
+            "bootstrapped": True,
+            "recovered": False,
+            "cursor": snap.snapshot_id,
+            "rows": res.get("upsert_rows"),
+        }

@@ -127,6 +127,78 @@ def test_poll_window_pinned_to_reported_target(spark, tmp_path):
     assert "zz-late" in {r["doc_id"] for r in df.collect()}
 
 
+def test_bootstrap_lagging_consumer_lifecycle(spark, tmp_path):
+    """Full consumer-recovery lifecycle: a cursor expired by vacuum →
+    poll raises with the re-bootstrap contract → bootstrap into a
+    fresh dest reproduces the source exactly and resumes incremental
+    pumping (including deletes); a non-empty dest is refused; a
+    crashed pump (merge durable, cursor commit lost) is repaired
+    without rewriting data."""
+    from ml_data_pipeline_spark.lake.feed import ChangesFeed
+
+    src = create_docs_table(spark, str(tmp_path / "src"), n_buckets=4)
+    ev0 = change_events_df(spark, 50, 600, seed=21)
+    src.merge_batch(ev0, batch_id=0)
+    ev1 = change_events_df(spark, 50, 600, seed=22, seq_start=600)
+    src.merge_batch(ev1, batch_id=1)
+    src.compact()
+    src.vacuum(keep_snapshots=1, orphan_grace_sec=0.0)
+
+    feed = ChangesFeed(src, str(tmp_path / "cursor.json"))
+    import pytest
+
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        feed.poll()
+
+    dest = create_docs_table(spark, str(tmp_path / "dest"), n_buckets=2)
+    out = feed.bootstrap(dest)
+    assert out["bootstrapped"] and out["cursor"] == src.snapshot.snapshot_id
+
+    def _state(t):
+        return {
+            r["doc_id"]: (tuple(r["tokens"] or []), r["source"])
+            for r in t.read().collect()
+        }
+
+    assert _state(dest) == _state(src)
+
+    # incremental resume, including a delete
+    some_doc = sorted(_state(src))[0]
+    src.merge_batch(
+        spark.createDataFrame(
+            [(99_999, some_doc, "D", None, None, None, None)], ev0.schema
+        ),
+        batch_id=2,
+    )
+    assert feed.pump_all(dest) == 1
+    assert _state(dest) == _state(src)
+    assert some_doc not in _state(dest)
+
+    # refuse to bootstrap over live data
+    with pytest.raises(ValueError, match="EMPTY destination"):
+        feed.bootstrap(dest)
+
+    # crash repair: pump applied its merge but the cursor commit was
+    # lost — bootstrap() must advance the cursor, not rewrite data
+    src.merge_batch(
+        spark.createDataFrame(
+            [(100_000, "fresh-doc", "I", [1, 2], 2, "web", None)],
+            ev0.schema,
+        ),
+        batch_id=3,
+    )
+    assert feed.pump_all(dest) == 1
+    committed = feed.cursor
+    feed.commit(committed - 1)  # simulate the lost cursor commit
+    rec = feed.bootstrap(dest)
+    assert rec["recovered"] and not rec["bootstrapped"]
+    assert feed.cursor == committed
+    assert _state(dest) == _state(src)
+    # and the feed is drained — nothing re-delivered
+    df, target = feed.poll()
+    assert df is None and target == committed
+
+
 def test_changes_feed_patch_table(spark, tmp_path):
     """Patch overlays move a key's change version: a patch-only window
     emits the key's NEW merged full state."""
