@@ -158,6 +158,13 @@ def main(argv: list[str] | None = None) -> int:
     isy.add_argument("--cursor", required=True)
     isy.add_argument("--compact", action="store_true",
                      help="fold window appends after syncing")
+    isy.add_argument(
+        "--rebuild",
+        action="store_true",
+        help="full re-sync of a FRESH index from the table's live "
+             "state (the recovery for a feed cursor expired by "
+             "vacuum), then continue syncing incrementally",
+    )
 
     ip = sub.add_parser("index-probe",
                         help="docs containing a token (1-bucket read)")
@@ -343,7 +350,11 @@ def main(argv: list[str] | None = None) -> int:
 
         t = LakeTable.load(spark, args.table)
         ix = TokenIndex.load(spark, args.index)
-        out = ix.sync(ChangesFeed(t, args.cursor))
+        feed = ChangesFeed(t, args.cursor)
+        out = {}
+        if args.rebuild:
+            out["rebuild"] = ix.rebuild(feed)
+        out.update(ix.sync(feed))
         if args.compact:
             out.update(ix.compact())
         print(json.dumps(out))

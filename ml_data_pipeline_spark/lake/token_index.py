@@ -188,6 +188,56 @@ class TokenIndex:
             feed.commit(target)
             windows += 1
 
+    def rebuild(self, feed: ChangesFeed) -> dict:
+        """Full re-sync for an index whose feed cursor predates vacuum
+        retention (``changes()`` raises ValueError): one scan of the
+        table's CURRENT live state writes a complete posting window,
+        and the cursor commits at the scanned snapshot — after which
+        ``sync`` resumes incrementally with no gap.
+
+        Requires an index with NO existing windows (recreate it): a
+        full-state load carries no retraction rows for stale postings
+        an old index may hold — the same exact-over-almost-right
+        stance as ``ChangesFeed.bootstrap``. A rebuild that crashed
+        between window write and cursor commit leaves windows behind;
+        the error message says to recreate, which is always safe.
+        """
+        if any(d.startswith("win-") for d in os.listdir(self.root)):
+            raise ValueError(
+                "rebuild requires an index with no windows — delete and "
+                "recreate the index directory (safe: the index is a "
+                "derived view), then rebuild"
+            )
+        meta = self.meta
+        tokens_col = meta["tokens_col"]
+        stop = meta.get("stop_tokens") or []
+        snap = feed.table.refresh()
+        ver = feed.table._version_expr(snap).alias("ver")
+        key = snap.key_col
+        state = feed.table.read(include_hidden=True)
+        toks = F.array_distinct(F.col(tokens_col))
+        if stop:
+            toks = F.array_except(
+                toks, F.array(*[F.lit(int(t)) for t in stop])
+            )
+        postings = state.select(
+            F.col(key).alias("doc_id"), ver, toks.alias("_t")
+        ).select(
+            F.explode("_t").alias("token"),
+            "doc_id",
+            "ver",
+            F.lit(True).alias("present"),
+        )
+        out_dir = os.path.join(self.root, f"win-{uuid.uuid4().hex}")
+        (
+            postings.withColumn("bucket", self._bucket_expr(F.col("token")))
+            .repartition(F.col("bucket"))
+            .write.partitionBy("bucket")
+            .parquet(out_dir)
+        )
+        feed.commit(snap.snapshot_id)
+        return {"rebuilt": True, "cursor": snap.snapshot_id}
+
     # ---------------------------------------------------------------- read
 
     def _scan(self, buckets: list[int] | None = None) -> DataFrame:

@@ -109,6 +109,70 @@ def test_token_index_tracks_updates_deletes(spark, tmp_path):
     _check_full(ix2, t)
 
 
+def test_index_rebuild_after_vacuum_expired_cursor(spark, tmp_path):
+    """Lagging-index recovery: vacuum expires the feed cursor → sync
+    raises the re-bootstrap contract → a recreated index rebuilds from
+    the table's live state and resumes incremental syncing exactly."""
+    import os
+    import shutil
+
+    import pytest
+
+    t = create_docs_table(spark, str(tmp_path / "tbl"), n_buckets=4)
+    ix = TokenIndex.create(spark, str(tmp_path / "ix"), n_buckets=8)
+    feed = ChangesFeed(t, str(tmp_path / "cursor.json"))
+    apply_batch(
+        t,
+        _events(
+            spark,
+            [
+                (1, "I", "a", [10, 11], 2, "web", None),
+                (2, "I", "b", [11, 12], 2, "web", None),
+            ],
+        ),
+        batch_id=0,
+        write_metrics=False,
+    )
+    ix.sync(feed)
+    _check_full(ix, t)
+
+    # more history, then expire it past the cursor
+    apply_batch(
+        t,
+        _events(spark, [(3, "U", "a", [10, 13], 2, "web", None),
+                        (4, "D", "b", None, None, None, None)]),
+        batch_id=1,
+        write_metrics=False,
+    )
+    t.compact()
+    t.vacuum(keep_snapshots=1, orphan_grace_sec=0.0)
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        ix.sync(feed)
+
+    # a half-synced index refuses rebuild; recreate + rebuild works
+    with pytest.raises(ValueError, match="recreate"):
+        ix.rebuild(feed)
+    shutil.rmtree(ix.root)
+    os.remove(str(tmp_path / "cursor.json"))
+    ix2 = TokenIndex.create(spark, str(tmp_path / "ix"), n_buckets=8)
+    feed2 = ChangesFeed(t, str(tmp_path / "cursor.json"))
+    out = ix2.rebuild(feed2)
+    assert out["rebuilt"] and out["cursor"] == t.snapshot.snapshot_id
+    _check_full(ix2, t)
+    assert {r["doc_id"] for r in ix2.postings(13).collect()} == {"a"}
+    assert ix2.postings(12).count() == 0  # b's delete not resurrected
+
+    # incremental resume after the rebuild
+    apply_batch(
+        t,
+        _events(spark, [(5, "I", "c", [13, 14], 2, "code", None)]),
+        batch_id=2,
+        write_metrics=False,
+    )
+    assert ix2.sync(feed2)["windows"] == 1
+    _check_full(ix2, t)
+
+
 def test_contaminated_docs_exact_subsequence(spark, tmp_path):
     """containing_all is set membership (candidates); contaminated_docs
     must verify CONTIGUOUS order — a doc with the right tokens in the
