@@ -239,7 +239,7 @@ def _md5_digit(h, k: int):
     return F.instr(F.lit(_HEX), F.substring(h, k + 1, 1)) - 1
 
 
-def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash over distinct words (hyperplanes = md5 bits).
 
     Per bit plane j, sum ±1 votes from bit j of each word's 64-bit
@@ -277,7 +277,15 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             bit = (F.col(f"s{j}") > 0).cast("int") * (2 ** (j - m * BAND_BITS))
             band = bit if band is None else band + bit
         band_cols.append(band.cast("int").alias(f"band{m}"))
-    return agg.select("doc_id", *band_cols).orderBy("doc_id")
+    return agg.select("doc_id", *band_cols)
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry shape of :func:`_simhash_sig` — deterministic order for
+    the oracle compare. Internal consumers (`simhash_bucket_pairs`)
+    use the unordered core: a global sort is a full range-partition
+    exchange that candidate generation never needs."""
+    return _simhash_sig(spark, sf_dir).orderBy("doc_id")
 
 
 def simhash_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,18 +311,22 @@ def simhash_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     produce no pairs). Real near-dup clusters are orders of magnitude
     smaller than the cap.
     """
-    sig = simhash_signatures(spark, sf_dir)
-    bands = [
-        sig.select(
-            "doc_id",
-            F.lit(m).alias("band"),
-            F.col(f"band{m}").alias("bucket"),
-        )
-        for m in range(SIMHASH_BANDS)
-    ]
-    banded = bands[0]
-    for x in bands[1:]:
-        banded = banded.unionAll(x)
+    sig = _simhash_sig(spark, sf_dir)
+    # One pass over the signature agg: stack the 4 band columns into
+    # (band, bucket) rows. The former 4-way unionAll re-instantiated
+    # the whole explode→md5→64-sum agg subtree per band (exchange
+    # reuse recovered some of it at runtime, but the analyzer/codegen
+    # cost and the residual recompute were a measured ~1.5 s at
+    # sf0.1); stack is a width-to-rows projection on ONE agg output.
+    stack_args = ", ".join(
+        f"{m}, band{m}" for m in range(SIMHASH_BANDS)
+    )
+    banded = sig.select(
+        "doc_id",
+        F.expr(
+            f"stack({SIMHASH_BANDS}, {stack_args}) as (band, bucket)"
+        ),
+    )
     counts = banded.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("_n")
     )

@@ -63,6 +63,9 @@ def ann_topk_cosine(
     )
 
 
+GEMM_TILE_ROWS = 8192  # sub-block edge for the per-cell GEMM
+
+
 def cosine_neardup_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -70,6 +73,7 @@ def cosine_neardup_pairs(
     quantizer: str = "sign",
     probes: int = 1,
     centroids: list[list[float]] | None = None,
+    tile_rows: int = GEMM_TILE_ROWS,
 ) -> DataFrame:
     """Same-cell vector pairs with cosine ≥ threshold, via per-cell
     blocked GEMM.
@@ -89,14 +93,29 @@ def cosine_neardup_pairs(
     per-pair expression evaluation: within each cell an executor-side
     numpy GEMM scores the block and emits only the above-threshold
     (id_a < id_b) pairs. The payload never leaves the executors; the
-    only shuffle is the cell groupBy. Cells come from a quantizer
-    whose cell count grows with n, so per-cell blocks stay
-    executor-sized and the GEMM is dense-BLAS fast. Round 1 collected
-    every vector to the driver and broadcast an O(n²) GEMM — a driver
-    OOM at scale; a pure sign-LSH band join was tried and generates
+    only shuffle is the cell groupBy. Round 1 collected every vector
+    to the driver and broadcast an O(n²) GEMM — a driver OOM at
+    scale; a pure sign-LSH band join was tried and generates
     ~n²/2^bits candidates at 64-dim cosine 0.5 (sign bits are weak
     planes for 60° neighbourhoods) — the cell-blocked GEMM is both
     faster and the honest IVF design.
+
+    Per-cell memory is bounded on BOTH axes (round-5 fix — previously
+    a single oversized cell meant an O(m²) sims matrix on one worker):
+
+    - the quadratic axis: the GEMM is SUB-BLOCKED — rows are sorted by
+      vec_id and scored tile-against-tile (``tile_rows`` edge, upper
+      triangle of tile pairs), so peak score-matrix memory is
+      tile_rows² regardless of cell occupancy, and because ids are
+      sorted the tiling emits exactly the same (id_a < id_b) pairs as
+      one full GEMM. The emitted-pair count in a degenerate cell is
+      still inherently quadratic — that is what the pair semantics
+      ask for — but computing it no longer needs quadratic memory.
+    - the linear axis (the applyInPandas group itself, O(m·d)): cell
+      occupancy tracks ``IVF_TARGET_CELL_ROWS`` by construction —
+      ``ivf_quantizer`` derives its cell count from the corpus size
+      (n_cells ≈ N / target) instead of a fixed 16, mirroring the
+      simhash occupancy-cutoff lesson from the sf1 run.
     """
     import numpy as np
     import pandas as pd
@@ -117,17 +136,32 @@ def cosine_neardup_pairs(
     )
 
     def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")  # sorted ids ⇒ tile order = id order
         ids = pdf["vec_id"].to_numpy()
         mat = np.array(list(pdf["embedding"]), dtype=np.float64)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = np.round(mat @ mat.T, 4)
-        ri, ci = np.where(sims >= threshold)
-        keep = ids[ri] < ids[ci]
+        m = len(ids)
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, m, tile_rows):
+            a = mat[i0 : i0 + tile_rows]
+            for j0 in range(i0, m, tile_rows):
+                sims = np.round(a @ mat[j0 : j0 + tile_rows].T, 4)
+                ri, ci = np.where(sims >= threshold)
+                ga, gb = ids[i0 + ri], ids[j0 + ci]
+                # diagonal tile: both orderings of a pair appear, keep
+                # the (a < b) one; off-diagonal (j0 > i0): each pair
+                # appears once and ga < gb already holds (ids sorted).
+                keep = ga < gb
+                out_a.append(ga[keep])
+                out_b.append(gb[keep])
+                out_c.append(sims[ri, ci][keep])
         return pd.DataFrame(
             {
-                "id_a": ids[ri][keep],
-                "id_b": ids[ci][keep],
-                "cosine": sims[ri, ci][keep],
+                "id_a": np.concatenate(out_a) if out_a else np.array([], "i8"),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], "i8"),
+                "cosine": (
+                    np.concatenate(out_c) if out_c else np.array([], "f8")
+                ),
             }
         )
 
@@ -221,6 +255,7 @@ def kmeans_fit(
     sf_dir: str,
     k: int = 8,
     iters: int = 5,
+    sample_mod: int | None = None,
 ) -> tuple[list[list[float]], DataFrame]:
     """Distributed Lloyd's k-means over the embeddings — the trained
     coarse quantizer that replaces `_ivf_cell`'s sign heuristic in a
@@ -245,18 +280,29 @@ def kmeans_fit(
     cluster, dist2)) where dist2 is the exact integer distance scaled
     by 10^12.
     """
-    # Centroids enter each iteration as broadcast DATA (a one-row
-    # array<array<bigint>> cross-joined in), not as inlined literals:
-    # the round-3 literal-fold shape regenerated a fresh k×d-literal
-    # expression tree every iteration, and the analyzer/codegen work
-    # over those ~k·d literal nodes was a measured per-iteration fixed
-    # cost (sf0.1 wall ~9.7 s). With data-borne centroids the plan
-    # source is IDENTICAL across iterations — compiled once, reused —
-    # while the executor-side arithmetic (zip_with/aggregate over
-    # bigint) is unchanged, so the exact fixed-point semantics and the
-    # DuckDB oracle stand. The broadcast is one row of k×d ints — not
-    # the k-rows-per-vector shuffle of a centroid JOIN.
-    e = load_table(spark, sf_dir, "embeddings").select(
+    # Centroids enter each iteration as ONE nested-array literal
+    # (`F.lit(centroids)` — a single Literal node of
+    # array<array<bigint>>), not as a k×d tree of scalar literals: the
+    # round-3 literal-fold shape regenerated ~k·d expression nodes per
+    # iteration and the analyzer/codegen work over them was a measured
+    # per-iteration fixed cost (sf0.1 wall ~9.7 s). Codegen emits
+    # complex-typed literals through the `references` array, so the
+    # generated source is IDENTICAL across iterations — compiled once,
+    # reused — and unlike the round-4 broadcast-DataFrame shape there
+    # is no per-iteration broadcast-exchange job at all (measured:
+    # ~0.2 s/iteration saved). Executor-side arithmetic (zip_with/
+    # aggregate over bigint) is unchanged, so the exact fixed-point
+    # semantics and the DuckDB oracle stand. k×d ints ride along with
+    # the compiled plan — model state, not data.
+    e = load_table(spark, sf_dir, "embeddings")
+    if sample_mod is not None and sample_mod > 1:
+        # Deterministic hash sample (~1/sample_mod of the corpus) for
+        # quantizer training at scale: Lloyd centroids converge on a
+        # sample; the full-corpus assignment plan is unchanged. Same
+        # mechanism as hash_sample_customers — xxhash64 is stable
+        # across runs and partitionings.
+        e = e.where(F.pmod(F.xxhash64(F.col("vec_id")), sample_mod) == 0)
+    e = e.select(
         "vec_id",
         F.transform(
             "embedding",
@@ -283,10 +329,8 @@ def kmeans_fit(
     )
     assigned = None
     for _ in range(iters):
-        cents_df = spark.createDataFrame(
-            [(centroids,)], "_cents: array<array<bigint>>"
-        )
-        assigned = e.crossJoin(F.broadcast(cents_df)).select(
+        cents_lit = F.lit(centroids).cast("array<array<bigint>>")
+        assigned = e.withColumn("_cents", cents_lit).select(
             "vec_id",
             "ev",
             (F.array_position(dists, F.array_min(dists)) - 1)
@@ -380,18 +424,49 @@ def _cells_expr(emb, centroids: list[list[float]], probes: int = 1):
     return F.slice(idx, 1, probes)
 
 
+IVF_TARGET_CELL_ROWS = 4096  # expected cell occupancy the quantizer aims for
+IVF_MIN_CELLS = 16
+IVF_MAX_CELLS = 1 << 16  # beyond this, shard the index, not the quantizer
+IVF_TRAIN_ROWS = 262_144  # Lloyd converges on a sample; cap training cost
+
+
+def derived_n_cells(n_rows: int, target: int = IVF_TARGET_CELL_ROWS) -> int:
+    """Cell count for a corpus of ``n_rows``: ceil(N / target), clamped
+    to [IVF_MIN_CELLS, IVF_MAX_CELLS]. Keeps expected cell occupancy at
+    ``target`` as the corpus grows — the round-4 review's fix for the
+    fixed-16-cell default whose cells grew O(N)."""
+    cells = -(-int(n_rows) // int(target))
+    return max(IVF_MIN_CELLS, min(IVF_MAX_CELLS, cells))
+
+
 def ivf_quantizer(
     spark: SparkSession,
     sf_dir: str,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     iters: int = 3,
 ) -> list[list[float]]:
-    """Train the IVF coarse quantizer: distributed Lloyd over the
-    corpus (kmeans_fit). Returns the centroid list — tiny model state
-    to inline into `_cells_expr`. At 10^9 vectors you'd fit on a
-    sample (`hash_sample`-style) — the assignment plan is identical.
+    """Train the IVF coarse quantizer: distributed Lloyd (kmeans_fit).
+    Returns the centroid list — tiny model state to inline into
+    `_cells_expr`.
+
+    Scale policy (round-5): ``n_cells=None`` derives the cell count
+    from the corpus size (``derived_n_cells`` — expected occupancy ≈
+    IVF_TARGET_CELL_ROWS), and training runs on a deterministic hash
+    sample of ≤ ~IVF_TRAIN_ROWS vectors (centroids converge on a
+    sample; only the tiny count job and the sampled Lloyd scans touch
+    the corpus). Passing an explicit ``n_cells`` preserves the old
+    fixed-cell behavior (tests pin recall with 16 cells at sf0.1).
     """
-    cents, _ = kmeans_fit(spark, sf_dir, k=n_cells, iters=iters)
+    if n_cells is None:
+        n_rows = load_table(spark, sf_dir, "embeddings").count()
+        n_cells = derived_n_cells(n_rows)
+        mod = max(1, n_rows // IVF_TRAIN_ROWS)
+    else:
+        mod = 1
+    cents, _ = kmeans_fit(
+        spark, sf_dir, k=n_cells, iters=iters,
+        sample_mod=mod if mod > 1 else None,
+    )
     return cents
 
 

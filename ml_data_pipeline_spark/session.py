@@ -50,6 +50,20 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # parallelismFirst=true (the default) refuses to coalesce below
+        # default parallelism, so a 512-row model-state shuffle (e.g.
+        # one k-means update) still runs `cores` reduce tasks — pure
+        # scheduler overhead that multiplies across iterative queries
+        # (measured: kmeans_clusters steady-state 7.0→4.0 s at sf0.1
+        # with the size-targeted policy). At 100 TB the size target is
+        # also the right policy: reducers sized to data, not to a core
+        # count floor. 16 MB serialized ≈ the decoded-size heuristic
+        # used for input splits above.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            str(16 * 1024 * 1024),
+        )
         # Arrow for every pandas-UDF boundary; token arrays are wide, so
         # keep record batches moderate to bound executor memory.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
