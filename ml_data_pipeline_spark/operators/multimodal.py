@@ -104,16 +104,30 @@ def decode_image_stub(payload: bytes) -> "object":
 
 
 def decode_image_real(payload: bytes) -> tuple[int, int, list[float]]:
-    """Real image decode (same interface as the fake codec): pillow,
-    imported lazily so environments without it keep working — call
-    sites pick this via ``image_codec()``. Returns (height, width,
-    4-bin luminance histogram normalized to [0, 1]), i.e. exactly the
-    fake codec's shape, so the decode → resize → feature pipeline is
+    """Real image decode (same interface as the fake codec): pillow
+    when importable (all formats), else the vendored pure-Python PNG
+    decoder (``operators.png_codec`` — stdlib zlib, critical chunks,
+    all five scanline filters), so the real decode path EXECUTES in
+    codec-less containers instead of skipping. Both paths use the same
+    ITU-R 601-2 truncating luminance conversion, so they agree
+    byte-for-byte on shared inputs. Returns (height, width, 4-bin
+    luminance histogram normalized to [0, 1]) — exactly the fake
+    codec's shape, so the decode → resize → feature pipeline is
     codec-agnostic (reference analog: the image reader's eager decode
     path, image.rs:160-500, which the reference itself stubs)."""
     import io
 
-    from PIL import Image  # ImportError here = pillow not installed
+    try:
+        from PIL import Image
+    except ImportError:
+        from ml_data_pipeline_spark.operators.png_codec import decode_png
+
+        height, width, gray = decode_png(payload)
+        counts = [0] * 4
+        for px in gray:
+            counts[px >> 6] += 1
+        total = max(1, height * width)
+        return height, width, [round(c / total, 6) for c in counts]
 
     with Image.open(io.BytesIO(payload)) as im:
         gray = im.convert("L")
@@ -127,15 +141,13 @@ def decode_image_real(payload: bytes) -> tuple[int, int, list[float]]:
 
 
 def image_codec():
-    """The best available codec under the shared (h, w, hist) interface:
-    pillow-backed when importable, else the deterministic fake (the
-    test-stable default in codec-less containers)."""
-    try:
-        import PIL  # noqa: F401
-
-        return decode_image_real
-    except ImportError:
-        return decode_image_fake
+    """The best available REAL codec under the shared (h, w, hist)
+    interface: pillow when importable (all formats), else the vendored
+    pure-PNG decoder via ``decode_image_real`` (PNG only — other
+    formats raise, honestly). ``decode_image_fake`` remains the
+    explicit choice for arbitrary non-image payloads (the
+    driver-contract pipeline default)."""
+    return decode_image_real
 
 
 def decode_image_fake(payload: bytes) -> tuple[int, int, list[float]]:

@@ -49,40 +49,39 @@ def test_fake_decoder_deterministic():
 
 
 def test_codec_selection_honest():
-    """image_codec() returns the real pillow decoder iff pillow is
-    importable, else the deterministic fake."""
+    """image_codec() always returns the REAL decoder (pillow-backed
+    when importable, vendored pure-PNG otherwise); the fake codec is
+    only ever an explicit opt-in."""
     from ml_data_pipeline_spark.operators.multimodal import (
         decode_image_real,
         image_codec,
     )
 
-    try:
-        import PIL  # noqa: F401
+    assert image_codec() is decode_image_real
+    with pytest.raises(ValueError):
+        decode_image_real(b"\xff\xd8\xff not actually decodable")
 
-        assert image_codec() is decode_image_real
-    except ImportError:
-        assert image_codec() is decode_image_fake
+
+def _make_png(width: int, height: int) -> bytes:
+    from ml_data_pipeline_spark.operators.png_codec import encode_png
+
+    pixels = bytes(i % 256 for i in range(width * height))
+    return encode_png(pixels, width, height, color_type=0)
 
 
 def test_real_codec_decodes_png():
-    """Real PNG → (h, w, hist) through the shared codec interface.
-    Skipped where pillow is absent (this container); the fake codec
-    covers the pipeline plumbing there."""
-    pytest.importorskip("PIL")
-    import io
-
-    from PIL import Image
-
+    """Real PNG → (h, w, hist) through the shared codec interface —
+    runs in EVERY container now: pillow when present, the vendored
+    pure-Python PNG decoder otherwise (round-5; this test used to
+    skip without pillow)."""
     from ml_data_pipeline_spark.operators.multimodal import decode_image_real
 
-    im = Image.new("L", (12, 7))
-    im.putdata([i % 256 for i in range(12 * 7)])
-    buf = io.BytesIO()
-    im.save(buf, format="PNG")
-    h, w, hist = decode_image_real(buf.getvalue())
+    h, w, hist = decode_image_real(_make_png(12, 7))
     assert (h, w) == (7, 12)
     assert len(hist) == 4
     assert abs(sum(hist) - 1.0) < 1e-4  # normalized luminance histogram
+    # 84 gray values 0..83 → bins [0,64): 64, [64,128): 20, rest 0
+    assert hist == [round(64 / 84, 6), round(20 / 84, 6), 0.0, 0.0]
 
 
 def test_decode_resize_pipeline(spark, sf_dir):

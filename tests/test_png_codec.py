@@ -1,0 +1,141 @@
+"""Vendored pure-Python PNG codec: every filter, every color type.
+
+Round-trips through our own encoder exercise each unfilter branch;
+when pillow happens to be installed the decode is ALSO cross-checked
+against it (inline, not a skip — the pure path asserts its own
+ground truth either way).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from ml_data_pipeline_spark.operators.png_codec import (
+    _chunk,
+    _SIG,
+    decode_png,
+    encode_png,
+)
+
+
+def _gray_pixels(w: int, h: int) -> bytes:
+    return bytes((x * 7 + y * 31) % 256 for y in range(h) for x in range(w))
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_gray_roundtrip_every_filter(ftype):
+    w, h = 13, 9  # odd sizes: no accidental stride alignment
+    px = _gray_pixels(w, h)
+    hh, ww, gray = decode_png(encode_png(px, w, h, 0, filter_type=ftype))
+    assert (hh, ww) == (h, w)
+    assert gray == px
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_rgb_roundtrip_every_filter(ftype):
+    w, h = 7, 5
+    rgb = bytes((i * 11) % 256 for i in range(w * h * 3))
+    hh, ww, gray = decode_png(encode_png(rgb, w, h, 2, filter_type=ftype))
+    assert (hh, ww) == (h, w)
+    # pillow's truncating ITU-R 601-2 luminance
+    expect = bytes(
+        (rgb[i * 3] * 299 + rgb[i * 3 + 1] * 587 + rgb[i * 3 + 2] * 114)
+        // 1000
+        for i in range(w * h)
+    )
+    assert gray == expect
+
+
+def _raw_png(ihdr: bytes, extra_chunks: list[tuple[bytes, bytes]]) -> bytes:
+    out = _SIG + _chunk(b"IHDR", ihdr)
+    for ctype, data in extra_chunks:
+        out += _chunk(ctype, data)
+    return out + _chunk(b"IEND", b"")
+
+
+def _idat_for(width, height, bpp, fill=0):
+    rows = b"".join(
+        b"\x00" + bytes([fill]) * (width * bpp) for _ in range(height)
+    )
+    return zlib.compress(rows)
+
+
+def test_palette_png_decodes_through_plte():
+    # 2x2 palette image: entries (255,0,0) and (0,255,0)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0])
+    rows = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([1, 0])
+    png = _raw_png(
+        ihdr, [(b"PLTE", plte), (b"IDAT", zlib.compress(rows))]
+    )
+    h, w, gray = decode_png(png)
+    red, green = 255 * 299 // 1000, 255 * 587 // 1000
+    assert (h, w) == (2, 2)
+    assert list(gray) == [red, green, green, red]
+
+
+def test_gray_alpha_and_rgba_luminance():
+    # gray+alpha (type 4): luminance = gray channel, alpha ignored
+    ihdr4 = struct.pack(">IIBBBBB", 2, 1, 8, 4, 0, 0, 0)
+    rows4 = b"\x00" + bytes([10, 200, 250, 30])
+    _, _, gray4 = decode_png(
+        _raw_png(ihdr4, [(b"IDAT", zlib.compress(rows4))])
+    )
+    assert list(gray4) == [10, 250]
+    # RGBA (type 6): RGB formula, alpha ignored
+    ihdr6 = struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0)
+    rows6 = b"\x00" + bytes([100, 50, 25, 7])
+    _, _, gray6 = decode_png(
+        _raw_png(ihdr6, [(b"IDAT", zlib.compress(rows6))])
+    )
+    assert list(gray6) == [(100 * 299 + 50 * 587 + 25 * 114) // 1000]
+
+
+def test_multiple_idat_chunks_concatenate():
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)
+    body = zlib.compress(b"\x00" + bytes([1, 2, 3]) + b"\x00" + bytes([4, 5, 6]))
+    png = _raw_png(ihdr, [(b"IDAT", body[:5]), (b"IDAT", body[5:])])
+    h, w, gray = decode_png(png)
+    assert (h, w, list(gray)) == (2, 3, [1, 2, 3, 4, 5, 6])
+
+
+def test_corrupt_and_unsupported_rejected():
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF....")
+    good = encode_png(bytes(4), 2, 2, 0)
+    # flip one IDAT payload byte → CRC mismatch
+    bad = bytearray(good)
+    idat_off = good.index(b"IDAT") + 4
+    bad[idat_off] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # interlaced rejected honestly
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png(_raw_png(ihdr, [(b"IDAT", _idat_for(2, 2, 1))]))
+    # 16-bit depth rejected honestly
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(_raw_png(ihdr16, [(b"IDAT", _idat_for(2, 2, 2))]))
+
+
+def test_parity_with_pillow_when_available():
+    """Cross-engine pin: if pillow exists, the pure decoder matches it
+    byte-for-byte; without pillow the pure decoder is compared against
+    its own spec-derived expectation above — no skip either way."""
+    w, h = 9, 6
+    px = _gray_pixels(w, h)
+    payload = encode_png(px, w, h, 0, filter_type=4)
+    _, _, pure = decode_png(payload)
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        assert pure == px  # spec ground truth
+        return
+    with Image.open(io.BytesIO(payload)) as im:
+        assert bytes(im.convert("L").tobytes()) == pure
