@@ -170,6 +170,8 @@ def main(argv: list[str] | None = None) -> int:
                         help="docs containing a token (1-bucket read)")
     ip.add_argument("--index", required=True)
     ip.add_argument("--token", type=int, required=True)
+    ip.add_argument("--limit", type=int, default=50,
+                    help="max doc ids to print (count stays exact)")
 
     cont = sub.add_parser("index-contaminated",
                           help="docs containing a contiguous token "
@@ -362,20 +364,31 @@ def main(argv: list[str] | None = None) -> int:
         from ml_data_pipeline_spark.lake.token_index import TokenIndex
 
         ix = TokenIndex.load(spark, args.index)
-        docs = [r["doc_id"] for r in ix.postings(args.token).collect()]
-        print(json.dumps({"token": args.token, "n_docs": len(docs),
-                          "doc_ids": sorted(docs)[:50]}))
+        # a hot/stop-adjacent token can have millions of postings:
+        # count exactly, but cap what crosses to the driver (sort +
+        # limit execute distributed as a partial top-k)
+        posts = ix.postings(args.token)
+        n_docs = posts.count()
+        docs = [
+            r["doc_id"]
+            for r in posts.orderBy("doc_id").limit(args.limit).collect()
+        ]
+        print(json.dumps({"token": args.token, "n_docs": n_docs,
+                          "doc_ids": docs}))
     elif args.cmd == "index-contaminated":
         from ml_data_pipeline_spark.lake.token_index import TokenIndex
 
         t = LakeTable.load(spark, args.table)
         ix = TokenIndex.load(spark, args.index)
         seq = [int(x) for x in args.tokens.split(",") if x.strip()]
-        docs = sorted(
-            r[t.key_col] for r in ix.contaminated_docs(t, seq).collect()
-        )
-        print(json.dumps({"sequence": seq, "n_docs": len(docs),
-                          "doc_ids": docs[:50]}))
+        hits = ix.contaminated_docs(t, seq)
+        n_docs = hits.count()
+        docs = [
+            r[t.key_col]
+            for r in hits.orderBy(t.key_col).limit(50).collect()
+        ]
+        print(json.dumps({"sequence": seq, "n_docs": n_docs,
+                          "doc_ids": docs}))
     elif args.cmd == "show":
         t = LakeTable.load(spark, args.table)
         snap = (

@@ -28,8 +28,20 @@ from __future__ import annotations
 
 import base64
 import struct
+import sys
 
 import numpy as np
+
+# The vectorized XXH64 kernel views uint8 row bytes through '<u8'/'<u4'
+# and then does native-order uint64 arithmetic, which matches the
+# endian-independent scalar port only on little-endian hosts. A wrong
+# hash here would mean unsound bloom pruning (false negatives on
+# lookup) — fail loudly at import rather than prune silently wrong.
+# Every supported deployment target (x86-64, aarch64) is LE; port the
+# kernel with explicit byteswaps if that ever changes.
+assert sys.byteorder == "little", (
+    "lake.bloom's vectorized XXH64 kernel requires a little-endian host"
+)
 
 _P1 = 0x9E3779B185EBCA87
 _P2 = 0xC2B2AE3D27D4EB4F

@@ -26,6 +26,56 @@ class SchemaMismatch(Exception):
     """Incoming schema cannot be merged into the table schema."""
 
 
+def assert_lake_payload_type(schema: T.StructType) -> None:
+    """Reject schemas the lake's LWW reduce cannot order — loudly.
+
+    The merge reduce is ``max(struct(_seq, payload...))`` and Spark
+    cannot ORDER maps (DATATYPE_MISMATCH.INVALID_ORDERING_TYPE), so a
+    MapType payload column would fail deep inside the first merge with
+    an analyzer error far from the cause. Reject it at ``create()`` /
+    schema-evolution time instead, pointing at the canonical encoding
+    (reference analog: DataType::Map, ml-data-core/src/schema.rs:87 —
+    carried there as a value type because the Rust engine never orders
+    rows by payload).
+    """
+
+    def walk(dt: T.DataType, path: str) -> None:
+        if isinstance(dt, T.MapType):
+            raise SchemaMismatch(
+                f"MapType at {path!r} is not a lake payload type: the "
+                "LWW reduce (max over struct(_seq, payload)) cannot "
+                "order maps. Store the canonical sorted-entries "
+                "encoding instead - lake.schema_evolution.map_to_entries"
+                " (array<struct<key,value>>, key-sorted) on write, "
+                "entries_to_map on read."
+            )
+        if isinstance(dt, T.ArrayType):
+            walk(dt.elementType, path + "[]")
+        elif isinstance(dt, T.StructType):
+            for f in dt.fields:
+                walk(f.dataType, f"{path}.{f.name}" if path else f.name)
+
+    walk(schema, "")
+
+
+def map_to_entries(col):
+    """Canonical lake encoding of a map column: key-sorted
+    ``array<struct<key,value>>``. Deterministic (map iteration order is
+    not) and orderable, so it flows through the max-struct LWW reduce;
+    equal maps encode byte-identically regardless of insertion order.
+    """
+    from pyspark.sql import functions as F
+
+    return F.array_sort(F.map_entries(col))
+
+
+def entries_to_map(col):
+    """Inverse of :func:`map_to_entries` (read-side projection)."""
+    from pyspark.sql import functions as F
+
+    return F.map_from_entries(col)
+
+
 _NUMERIC = (
     T.ByteType,
     T.ShortType,

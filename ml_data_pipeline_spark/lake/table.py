@@ -67,6 +67,7 @@ from pyspark.sql import types as T
 
 from ml_data_pipeline_spark.lake.schema_evolution import (
     SchemaMismatch,
+    assert_lake_payload_type,
     merge_schemas,
 )
 
@@ -255,6 +256,7 @@ class LakeTable:
             raise ValueError(f"table already exists at {root}")
         if key_col not in schema.fieldNames():
             raise SchemaMismatch(f"key column {key_col!r} not in schema")
+        assert_lake_payload_type(schema)
         t = cls(spark, root)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -417,9 +419,31 @@ class LakeTable:
         # <file>.bloom sidecars) are what serve point lookups, and the
         # pyarrow in this environment cannot write parquet-level
         # blooms.
+        # SUPPORTED property whitelist — the Arrow writer honors
+        # exactly these three (the pre-round-4 Spark-datasource path
+        # forwarded every property as a writer .option; that implicit
+        # contract is gone). Unrecognized parquet.* properties warn
+        # once per write so the narrowing is visible, not silent.
         block_size = int(props.get("parquet.block.size", 128 * 1024 * 1024))
         use_dict = props.get("parquet.enable.dictionary", "true").lower() != "false"
         compression = props.get("parquet.compression", "snappy")
+        _supported = {
+            "parquet.block.size",
+            "parquet.enable.dictionary",
+            "parquet.compression",
+        }
+        unknown = [
+            k for k in props if k.startswith("parquet.") and k not in _supported
+        ]
+        if unknown:
+            import warnings
+
+            warnings.warn(
+                f"table properties {sorted(unknown)} are not honored by "
+                f"the lake's Arrow parquet writer (supported: "
+                f"{sorted(_supported)})",
+                stacklevel=2,
+            )
         # Captured DRIVER-side so the switch works regardless of how
         # executor worker processes inherit their environment.
         skip_bloom = bool(os.environ.get("LAKE_SKIP_BLOOM"))
@@ -442,7 +466,16 @@ class LakeTable:
         # file name is deterministic per (write_id, partition, bucket)
         # and published by atomic rename, so a re-run attempt
         # overwrites identical content; orphaned .tmp files of failed
-        # attempts are swept by vacuum.
+        # attempts are swept by vacuum. One assumption worth naming:
+        # with speculative execution a duplicate attempt can re-publish
+        # a bucket's file AFTER the winner's manifest row was
+        # collected, and shuffle-order nondeterminism means the
+        # re-published file may compress to a slightly different size
+        # — so FileEntry.bytes is advisory for the on-disk file. Row
+        # content and blooms are equivalent either way (same rows, set
+        # semantics), and the only consumer of `bytes`
+        # (SizeTieredPolicy) tolerates drift: tier thresholds are
+        # ratios over sums, not exact-match checks.
         def _write(batches):
             import numpy as np
             import pyarrow as pa
@@ -775,8 +808,17 @@ class LakeTable:
             try:
                 with open(os.path.join(self.root, f.path + ".bloom")) as bf:
                     self._bloom_cache[f.path] = bf.read()
-            except OSError:
+            except FileNotFoundError:
+                # genuinely absent (e.g. written with LAKE_SKIP_BLOOM)
+                # — cache the miss, it will never appear for an
+                # immutable file
                 self._bloom_cache[f.path] = None
+            except OSError:
+                # transient read failure (EMFILE, EIO, NFS blip): skip
+                # pruning for THIS call only — caching None here would
+                # silently degrade the point-lookup fast path for the
+                # handle's lifetime
+                return None
         return self._bloom_cache[f.path]
 
     def lookup_files(self, key_value, snap: Snapshot | None = None) -> list[FileEntry]:
@@ -1018,6 +1060,7 @@ class LakeTable:
         drop = {seq_col, op_col, *exclude_cols}
         payload_fields = [f for f in events.schema.fields if f.name not in drop]
         incoming = T.StructType(payload_fields)
+        assert_lake_payload_type(incoming)
         merged = merge_schemas(snap.schema, incoming)
         evolved = merged != snap.schema
         schema_after = merged if evolved else snap.schema

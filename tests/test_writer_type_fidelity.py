@@ -126,3 +126,138 @@ def test_every_lake_type_roundtrips_exactly(spark, tmp_path):
     for k in want:
         for f in WIDE_SCHEMA.fieldNames():
             assert got2[k][f] == want[k][f], ("post-compact", k, f)
+
+
+MAP_MSG = "not a lake payload type"
+
+
+def test_maptype_rejected_loudly_at_create(spark, tmp_path):
+    import pytest
+
+    from ml_data_pipeline_spark.lake.schema_evolution import SchemaMismatch
+
+    bad = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField(
+                "attrs", T.MapType(T.StringType(), T.IntegerType())
+            ),
+        ]
+    )
+    with pytest.raises(SchemaMismatch, match=MAP_MSG):
+        LakeTable.create(
+            spark, str(tmp_path / "m1"), bad, key_col="doc_id"
+        )
+    # nested maps (inside array/struct) are caught too
+    nested = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField(
+                "xs",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField(
+                                "m",
+                                T.MapType(T.StringType(), T.LongType()),
+                            )
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    with pytest.raises(SchemaMismatch, match=MAP_MSG):
+        LakeTable.create(
+            spark, str(tmp_path / "m2"), nested, key_col="doc_id"
+        )
+
+
+def test_maptype_rejected_at_schema_evolution(spark, tmp_path):
+    import pytest
+
+    from ml_data_pipeline_spark.lake.schema_evolution import SchemaMismatch
+
+    base = T.StructType([T.StructField("doc_id", T.StringType(), False)])
+    t = LakeTable.create(
+        spark, str(tmp_path / "evo"), base, key_col="doc_id"
+    )
+    ev_schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField(
+                "attrs", T.MapType(T.StringType(), T.IntegerType())
+            ),
+        ]
+    )
+    events = spark.createDataFrame(
+        [("I", 1, "k1", {"a": 1})], ev_schema
+    )
+    with pytest.raises(SchemaMismatch, match=MAP_MSG):
+        t.merge_batch(events, batch_id=0, exclude_cols=(), quarantine=False)
+
+
+def test_canonical_map_encoding_through_lww_reduce(spark, tmp_path):
+    """The documented MapType story end-to-end: map_to_entries on
+    write (key-sorted, insertion-order independent), LWW merge over
+    the encoded column, entries_to_map on read."""
+    from ml_data_pipeline_spark.lake.schema_evolution import (
+        entries_to_map,
+        map_to_entries,
+    )
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField(
+                "attrs",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            # nullable: nested NOT NULL can't survive
+                            # the parquet read-back cast, and the
+                            # encoding doesn't need the constraint
+                            T.StructField("key", T.StringType(), True),
+                            T.StructField("value", T.IntegerType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "enc"), enc_schema, key_col="doc_id"
+    )
+
+    map_schema = "doc_id string, attrs map<string,int>"
+    # same map content, different insertion order -> identical encoding
+    a = spark.createDataFrame([("k1", {"x": 1, "y": 2})], map_schema)
+    b = spark.createDataFrame([("k1", {"y": 2, "x": 1})], map_schema)
+    enc = lambda df: df.select(  # noqa: E731
+        "doc_id", map_to_entries(F.col("attrs")).alias("attrs")
+    )
+    assert enc(a).collect() == enc(b).collect()
+
+    ev = lambda df, seq: df.select(  # noqa: E731
+        F.lit("U").alias("op"), F.lit(seq).cast("long").alias("seq"), "*"
+    )
+    t.merge_batch(ev(enc(a), 1), batch_id=0, exclude_cols=(), quarantine=False)
+    upd = spark.createDataFrame([("k1", {"z": 9, "x": 5})], map_schema)
+    t.merge_batch(
+        ev(enc(upd), 2), batch_id=1, exclude_cols=(), quarantine=False
+    )
+    # late lower-seq update must lose
+    late = spark.createDataFrame([("k1", {"stale": 0})], map_schema)
+    t.merge_batch(
+        ev(enc(late), 1), batch_id=2, exclude_cols=(), quarantine=False
+    )
+
+    out = t.read().select(
+        "doc_id", entries_to_map(F.col("attrs")).alias("attrs")
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == "k1"
+    assert dict(rows[0]["attrs"]) == {"x": 5, "z": 9}
