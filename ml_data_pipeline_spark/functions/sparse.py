@@ -182,3 +182,209 @@ def csr_spmv(csr: Column, dense: Column) -> Column:
 
 def csr_nnz(csr: Column) -> Column:
     return F.size(csr["indices"])
+
+
+# --------------------------------------------------------------- CSC batch
+# Column-compressed twin of the CSR batch (reference schema.rs:126-138
+# lists COO/CSR/CSC/BSR; round 5 completes the set). Same parallel-array
+# struct, compressed along columns: ``(n_rows, n_cols, indptr[n_cols+1],
+# row_indices, values)`` with entries in column-major order. All pure
+# JVM higher-order expressions, batch-local like CSR.
+
+
+def cols_to_csc(cols: Column, n_rows: Column | int) -> Column:
+    """Array of COO COLUMN structs (in column order, indices = row ids)
+    → one CSC batch struct. Mirror of :func:`rows_to_csr`."""
+    nr = F.lit(n_rows) if isinstance(n_rows, int) else n_rows
+    nnzs = F.transform(cols, lambda c: F.size(c["indices"]))
+    indptr = F.aggregate(
+        nnzs,
+        F.array(F.lit(0)),
+        lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) + x)),
+    )
+    return F.struct(
+        nr.cast("int").alias("n_rows"),
+        F.size(cols).alias("n_cols"),
+        indptr.alias("indptr"),
+        F.flatten(F.transform(cols, lambda c: c["indices"])).alias(
+            "row_indices"
+        ),
+        F.flatten(F.transform(cols, lambda c: c["values"])).alias("values"),
+    )
+
+
+def csc_col(csc: Column, j: Column | int) -> Column:
+    """Column ``j`` (0-based) of a CSC batch as a COO struct — two
+    indptr lookups + slice, the column-locate payoff (CSR's weak
+    axis)."""
+    jx = F.lit(j) if isinstance(j, int) else j
+    start = F.element_at(csc["indptr"], (jx + 1).cast("int"))
+    end = F.element_at(csc["indptr"], (jx + 2).cast("int"))
+    n = (end - start).cast("int")
+    return F.struct(
+        csc["n_rows"].alias("size"),
+        F.slice(csc["row_indices"], start + 1, n).alias("indices"),
+        F.slice(csc["values"], start + 1, n).alias("values"),
+    )
+
+
+def csc_to_cols(csc: Column) -> Column:
+    """CSC batch → array of COO column structs (inverse of
+    :func:`cols_to_csc`)."""
+    return F.transform(
+        F.sequence(F.lit(0), csc["n_cols"] - 1),
+        lambda j: csc_col(csc, j),
+    )
+
+
+def csc_vtm(csc: Column, dense: Column) -> Column:
+    """Vector-transpose-matrix ``xᵀA`` for a CSC batch: out[j] =
+    dot(column j, x) — each column folds its indptr-bracketed slice of
+    entries scaled by the matching x component. O(nnz) multiplies
+    total (CSC's natural product; the row-major ``csr_spmv`` is the
+    CSR twin)."""
+    scaled = F.zip_with(
+        csc["row_indices"],
+        csc["values"],
+        lambda i, v: v.cast("double")
+        * F.element_at(dense, (i + 1).cast("int")).cast("double"),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), csc["n_cols"] - 1),
+        lambda c: F.aggregate(
+            F.slice(
+                scaled,
+                F.element_at(csc["indptr"], (c + 1).cast("int")) + 1,
+                (
+                    F.element_at(csc["indptr"], (c + 2).cast("int"))
+                    - F.element_at(csc["indptr"], (c + 1).cast("int"))
+                ).cast("int"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+# --------------------------------------------------------------- BSR batch
+# Block-sparse-row batch: dense (bh × bw) tiles compressed row-of-blocks
+# wise — ``(n_rows, n_cols, bh, bw, indptr[n_block_rows+1], bcols,
+# values)`` where ``values`` concatenates each stored block's bh·bw
+# row-major elements in slot order. The layout for block-structured
+# sparsity (e.g. attention masks, blocked adjacency), where per-element
+# COO/CSR index overhead is bh·bw× larger.
+
+
+def blocks_to_bsr(
+    blocks: Column,
+    n_rows: Column | int,
+    n_cols: Column | int,
+    bh: int,
+    bw: int,
+) -> Column:
+    """Array of ``struct(brow, bcol, block:array<double>)`` (bh·bw
+    row-major elements each) → one BSR batch struct. Blocks are
+    canonicalized by (brow, bcol) sort; (brow, bcol) must be unique."""
+    nr = F.lit(n_rows) if isinstance(n_rows, int) else n_rows
+    nc = F.lit(n_cols) if isinstance(n_cols, int) else n_cols
+    srt = F.array_sort(blocks)  # struct order = field order = (brow, bcol)
+    n_brows = (nr.cast("int") + (bh - 1)) / bh
+    nnzs = F.transform(
+        F.sequence(F.lit(0), F.floor(n_brows).cast("int") - 1),
+        lambda br: F.size(F.filter(srt, lambda b: b["brow"] == br)),
+    )
+    indptr = F.aggregate(
+        nnzs,
+        F.array(F.lit(0)),
+        lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) + x)),
+    )
+    return F.struct(
+        nr.cast("int").alias("n_rows"),
+        nc.cast("int").alias("n_cols"),
+        F.lit(bh).alias("bh"),
+        F.lit(bw).alias("bw"),
+        indptr.alias("indptr"),
+        F.transform(srt, lambda b: b["bcol"]).alias("bcols"),
+        F.flatten(F.transform(srt, lambda b: b["block"])).alias("values"),
+    )
+
+
+def bsr_to_blocks(bsr: Column) -> Column:
+    """BSR batch → array of ``struct(brow, bcol, block)`` (inverse of
+    :func:`blocks_to_bsr`, canonical order)."""
+    bsz = bsr["bh"] * bsr["bw"]
+
+    def row_blocks(br):
+        start = F.element_at(bsr["indptr"], (br + 1).cast("int"))
+        end = F.element_at(bsr["indptr"], (br + 2).cast("int"))
+        # guard the empty block-row: sequence(s, s-1, 1) is an error
+        return F.when(
+            end > start,
+            F.transform(
+                F.sequence(start, end - 1, F.lit(1)),
+                lambda p: F.struct(
+                    br.cast("int").alias("brow"),
+                    F.element_at(bsr["bcols"], (p + 1).cast("int")).alias(
+                        "bcol"
+                    ),
+                    F.slice(
+                        bsr["values"], p * bsz + 1, bsz.cast("int")
+                    ).alias("block"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast(
+                "array<struct<brow:int,bcol:int,block:array<double>>>"
+            )
+        )
+
+    n_brows = F.size(bsr["indptr"]) - 1
+    return F.flatten(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), n_brows - 1), lambda br: row_blocks(br)
+            ),
+            lambda arr: F.size(arr) > 0,
+        )
+    )
+
+
+def bsr_spmv(bsr: Column, dense: Column) -> Column:
+    """BSR batch × dense vector → ``array<double>`` of length n_rows.
+    Each output row folds only its block-row's stored tiles (block
+    slot → bw multiplies against the tile's row r); total multiplies =
+    stored elements, i.e. O(nnz) in the BSR sense — never
+    O(n_rows·n_cols)."""
+    bsz = bsr["bh"] * bsr["bw"]
+
+    def out_i(i):
+        br = F.floor(i / bsr["bh"])
+        r = i % bsr["bh"]
+        start = F.element_at(bsr["indptr"], (br + 1).cast("int"))
+        end = F.element_at(bsr["indptr"], (br + 2).cast("int"))
+        # empty block-row → no stored tiles → 0.0 (guard the sequence)
+        return F.when(end <= start, F.lit(0.0)).otherwise(F.aggregate(
+            F.sequence(start, end - 1, F.lit(1)),
+            F.lit(0.0),
+            lambda acc, p: acc
+            + F.aggregate(
+                F.sequence(F.lit(0), bsr["bw"] - 1),
+                F.lit(0.0),
+                lambda a2, w: a2
+                + F.element_at(
+                    bsr["values"],
+                    (p * bsz + r * bsr["bw"] + w + 1).cast("int"),
+                ).cast("double")
+                * F.element_at(
+                    dense,
+                    (
+                        F.element_at(bsr["bcols"], (p + 1).cast("int"))
+                        * bsr["bw"]
+                        + w
+                        + 1
+                    ).cast("int"),
+                ).cast("double"),
+            ),
+        ))
+
+    return F.transform(F.sequence(F.lit(0), bsr["n_rows"] - 1), out_i)
