@@ -146,7 +146,14 @@ def main() -> None:
     if os.environ.get("BENCH_SKIP_QUERIES"):
         qtimes, qreps = {}, {}
     else:
-        qtimes, qreps = run_queries(spark)
+        # 3 reps (post-warmup): the published per-rep walls show how
+        # converged each floor is; the heaviest queries (simhash,
+        # ngram) re-plan under AQE at the benchmark SF, so their first
+        # timed rep can still pay a one-time codegen the sf0.001
+        # warmup could not absorb (different join strategy at scale).
+        qtimes, qreps = run_queries(
+            spark, reps=int(os.environ.get("BENCH_QUERY_REPS", "3"))
+        )
 
     if os.environ.get("BENCH_SKIP_CDC"):
         spark.stop()

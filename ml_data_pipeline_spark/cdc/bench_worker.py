@@ -58,9 +58,13 @@ def main() -> None:
         for _ in range(reps):
             work = tempfile.mkdtemp(prefix=f"cdc-bench-{cores}-")
             # Table layout is a property of the data, not cluster size:
-            # constant bucket count across N / 4N runs.
+            # constant bucket count across N / 4N runs. BENCH_CDC_BUCKETS
+            # overrides for the state-scaling amplification experiment
+            # (BASELINE.md round-5).
             table = create_docs_table(
-                spark, os.path.join(work, "tbl"), n_buckets=64
+                spark,
+                os.path.join(work, "tbl"),
+                n_buckets=int(os.environ.get("BENCH_CDC_BUCKETS", "64")),
             )
             t0 = time.monotonic()
             stats = run_replay(
