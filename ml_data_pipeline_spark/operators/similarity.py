@@ -389,29 +389,41 @@ def _ivf_cell(emb):
     return cell
 
 
-def _centroid_dist2(emb, c: list[float]):
-    """Squared L2 distance to a literal centroid — a codegen'd fold,
-    float domain (quantizer assignment only, never oracle-compared)."""
-    lit = F.array(*[F.lit(float(x)) for x in c])
-    return F.aggregate(
-        F.zip_with(
-            emb, lit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def _cells_expr(emb, centroids: list[list[float]], probes: int = 1):
     """Array of the `probes` nearest centroid indices for a vector.
 
-    Centroids are broadcast model state inlined as literals; the whole
-    assignment is one codegen'd expression per row — no UDF, no
-    shuffle. probes=1 is plain IVF; probes>1 is multi-probe (vector or
-    query searched in its top-p cells), which bounds the recall loss
-    of cell-local search at the cost of p× candidate volume.
+    Centroids are model state carried as ONE nested-array literal
+    (same shape as kmeans_fit's round-5 fix): a single Literal node of
+    array<array<double>> that codegen passes through the references
+    array, so the expression tree — and the analyzer/codegen cost —
+    is O(1) in the cell count. The old per-centroid literal-fold
+    F.array built k·d expression nodes, fine at the fixed 16 cells but
+    a driver-side analyzer blowup now that ``derived_n_cells`` can
+    return thousands. The per-element float arithmetic is identical
+    ((e-c)² fold, same accumulation order), so assignments — and the
+    pinned recall numbers — are unchanged.
+
+    The whole assignment is one codegen'd expression per row — no
+    UDF, no shuffle. probes=1 is plain IVF; probes>1 is multi-probe
+    (vector or query searched in its top-p cells), which bounds the
+    recall loss of cell-local search at the cost of p× candidate
+    volume.
     """
-    dists = F.array(*[_centroid_dist2(emb, c) for c in centroids])
+    cents = F.lit(
+        [[float(x) for x in c] for c in centroids]
+    ).cast("array<array<double>>")
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(
+                emb,
+                c,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
     idx = F.transform(
         F.array_sort(
             F.transform(

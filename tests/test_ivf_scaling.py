@@ -66,3 +66,34 @@ def test_quantizer_default_derives_and_samples(spark, sf01_dir):
     sampled, _ = S.kmeans_fit(spark, sf01_dir, k=4, iters=2, sample_mod=2)
     assert len(sampled) == 4
     assert all(len(c) == len(cents[0]) for c in sampled)
+
+
+def test_cells_expr_scales_to_large_k(spark, sf01_dir):
+    """The cell-assignment expression must stay O(1) in plan size as
+    the derived cell count grows: centroids ride ONE nested-array
+    literal (codegen references), not k·d literal nodes. 512 cells ×
+    64 dims = 32k values — the old per-centroid F.array shape took
+    unbounded analyzer time here; this pins that analysis+execution
+    stays fast."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ml_data_pipeline_spark.sources.tables import load_table
+
+    rng = __import__("random").Random(7)
+    cents = [
+        [rng.uniform(-1, 1) for _ in range(64)] for _ in range(512)
+    ]
+    e = load_table(spark, sf01_dir, "embeddings")
+    t0 = time.monotonic()
+    df = e.select(
+        F.explode(
+            S._cells_expr(F.col("embedding"), cents, probes=2)
+        ).alias("cell")
+    )
+    df.count()  # analyze + execute
+    wall = time.monotonic() - t0
+    assert wall < 30, f"large-k assignment took {wall:.1f}s"
+    # assignment is total: every vector lands in `probes` cells
+    assert df.count() == 2 * e.count()

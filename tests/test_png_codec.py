@@ -139,3 +139,48 @@ def test_parity_with_pillow_when_available():
         return
     with Image.open(io.BytesIO(payload)) as im:
         assert bytes(im.convert("L").tobytes()) == pure
+
+
+# ---- property-based roundtrips (hypothesis) ----
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    ftype=st.integers(0, 4),
+    data=st.data(),
+)
+def test_gray_roundtrip_property(w, h, ftype, data):
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h, max_size=w * h
+            )
+        )
+    )
+    hh, ww, gray = decode_png(encode_png(px, w, h, 0, filter_type=ftype))
+    assert (hh, ww, gray) == (h, w, px)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    ftype=st.integers(0, 4),
+    data=st.data(),
+)
+def test_rgb_roundtrip_property(w, h, ftype, data):
+    n = w * h * 3
+    rgb = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    )
+    hh, ww, gray = decode_png(encode_png(rgb, w, h, 2, filter_type=ftype))
+    expect = bytes(
+        (rgb[i * 3] * 299 + rgb[i * 3 + 1] * 587 + rgb[i * 3 + 2] * 114)
+        // 1000
+        for i in range(w * h)
+    )
+    assert (hh, ww, gray) == (h, w, expect)
