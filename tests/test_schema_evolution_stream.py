@@ -88,3 +88,63 @@ def test_streaming_replay_with_widened_n_tok(spark, tmp_path):
     # n_tok invariant survives the widening
     bad = t.read().where(F.col("n_tok") != F.size("tokens")).count()
     assert bad == 0
+
+
+def test_array_element_widening_tokens_int_to_long(spark, tmp_path):
+    """The north rule's central type evolves: tokens array<int> →
+    array<long> through merge_batch. The element-wise widening lattice
+    (schema_evolution.merge_types) must (a) evolve the snapshot
+    schema, (b) keep pre-evolution rows readable (cast on read), and
+    (c) keep the LWW reduce exact across the boundary."""
+    from pyspark.sql import functions as F
+
+    from ml_data_pipeline_spark.lake.table import LakeTable
+
+    base = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "wide_arr"), base, key_col="doc_id",
+        n_buckets=2,
+    )
+
+    def ev(rows, schema, seq):
+        df = spark.createDataFrame(rows, schema)
+        return df.select(
+            F.lit("U").alias("op"),
+            F.lit(seq).cast("long").alias("seq"),
+            "*",
+        )
+
+    t.merge_batch(
+        ev([("a", [1, 2]), ("b", [3])], "doc_id string, tokens array<int>", 1),
+        batch_id=0, exclude_cols=(), quarantine=False,
+    )
+    # epoch 2: values only a long can hold
+    t.merge_batch(
+        ev(
+            [("b", [2**40, 7]), ("c", [-(2**35)])],
+            "doc_id string, tokens array<long>",
+            2,
+        ),
+        batch_id=1, exclude_cols=(), quarantine=False,
+    )
+    t.refresh()
+    assert t.schema["tokens"].dataType == T.ArrayType(T.LongType(), True)
+    got = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert got == {"a": [1, 2], "b": [2**40, 7], "c": [-(2**35)]}
+    # late lower-seq update in the OLD narrow type must lose
+    t.merge_batch(
+        ev([("b", [9])], "doc_id string, tokens array<int>", 1),
+        batch_id=2, exclude_cols=(), quarantine=False,
+    )
+    t.refresh()
+    got2 = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert got2["b"] == [2**40, 7]
+    # compaction rewrites mixed-width files under the widened schema
+    t.compact()
+    got3 = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert got3 == got2 | {"a": [1, 2]}
