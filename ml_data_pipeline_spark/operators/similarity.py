@@ -66,6 +66,42 @@ def ann_topk_cosine(
 GEMM_TILE_ROWS = 8192  # sub-block edge for the per-cell GEMM
 
 
+def _tiled_pairs(ids, mat, threshold: float, tile_rows: int):
+    """Above-threshold (id_a < id_b) cosine pairs of the row-normalized
+    matrix ``mat`` (ids ASCENDING, aligned with rows), scored
+    tile-against-tile so peak score-matrix memory is ``tile_rows²``
+    regardless of row count. Pure numpy — module-level so the tiling's
+    index arithmetic is property-testable against a full GEMM
+    (tests/test_ivf_scaling.py). Returns (id_a, id_b, cosine) arrays.
+    """
+    import numpy as np
+
+    m = len(ids)
+    out_a, out_b, out_c = [], [], []
+    for i0 in range(0, m, tile_rows):
+        a = mat[i0 : i0 + tile_rows]
+        for j0 in range(i0, m, tile_rows):
+            sims = np.round(a @ mat[j0 : j0 + tile_rows].T, 4)
+            ri, ci = np.where(sims >= threshold)
+            ga, gb = ids[i0 + ri], ids[j0 + ci]
+            # diagonal tile: both orderings of a pair appear, keep the
+            # (a < b) one; off-diagonal (j0 > i0): each pair appears
+            # once and ga < gb already holds (ids sorted).
+            keep = ga < gb
+            out_a.append(ga[keep])
+            out_b.append(gb[keep])
+            out_c.append(sims[ri, ci][keep])
+    if not out_a:
+        return (
+            np.array([], "i8"), np.array([], "i8"), np.array([], "f8")
+        )
+    return (
+        np.concatenate(out_a),
+        np.concatenate(out_b),
+        np.concatenate(out_c),
+    )
+
+
 def cosine_neardup_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -140,30 +176,8 @@ def cosine_neardup_pairs(
         ids = pdf["vec_id"].to_numpy()
         mat = np.array(list(pdf["embedding"]), dtype=np.float64)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        m = len(ids)
-        out_a, out_b, out_c = [], [], []
-        for i0 in range(0, m, tile_rows):
-            a = mat[i0 : i0 + tile_rows]
-            for j0 in range(i0, m, tile_rows):
-                sims = np.round(a @ mat[j0 : j0 + tile_rows].T, 4)
-                ri, ci = np.where(sims >= threshold)
-                ga, gb = ids[i0 + ri], ids[j0 + ci]
-                # diagonal tile: both orderings of a pair appear, keep
-                # the (a < b) one; off-diagonal (j0 > i0): each pair
-                # appears once and ga < gb already holds (ids sorted).
-                keep = ga < gb
-                out_a.append(ga[keep])
-                out_b.append(gb[keep])
-                out_c.append(sims[ri, ci][keep])
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a) if out_a else np.array([], "i8"),
-                "id_b": np.concatenate(out_b) if out_b else np.array([], "i8"),
-                "cosine": (
-                    np.concatenate(out_c) if out_c else np.array([], "f8")
-                ),
-            }
-        )
+        id_a, id_b, cos = _tiled_pairs(ids, mat, threshold, tile_rows)
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": cos})
 
     out = e.groupBy("cell").applyInPandas(
         gemm, "id_a bigint, id_b bigint, cosine double"

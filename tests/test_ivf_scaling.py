@@ -97,3 +97,41 @@ def test_cells_expr_scales_to_large_k(spark, sf01_dir):
     assert wall < 30, f"large-k assignment took {wall:.1f}s"
     # assignment is total: every vector lands in `probes` cells
     assert df.count() == 2 * e.count()
+
+
+def test_tiled_pairs_property_matches_full_gemm():
+    """Property: for random normalized vectors, arbitrary ascending
+    ids, and ANY tile size, _tiled_pairs emits exactly the full-GEMM
+    pair set (the diagonal/off-diagonal keep logic is the subtle
+    part). Pure numpy — no Spark session needed."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from ml_data_pipeline_spark.operators.similarity import _tiled_pairs
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(0, 40),
+        d=st.integers(2, 8),
+        tile=st.integers(1, 45),
+        thr=st.floats(-0.5, 0.95),
+        seed=st.integers(0, 10**6),
+    )
+    def check(n, d, tile, thr, seed):
+        rng = np.random.default_rng(seed)
+        mat = rng.normal(size=(n, d))
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
+        # ascending, non-contiguous ids
+        ids = np.cumsum(rng.integers(1, 5, size=n)).astype("i8")
+        ta, tb, tc = _tiled_pairs(ids, mat, thr, tile)
+        sims = np.round(mat @ mat.T, 4)
+        ri, ci = np.where(sims >= thr)
+        keep = ids[ri] < ids[ci]
+        want = set(
+            zip(ids[ri][keep], ids[ci][keep], sims[ri, ci][keep])
+        )
+        assert set(zip(ta, tb, tc)) == want
+
+    check()
