@@ -36,13 +36,20 @@ def build_session(
     """
     cores = cores or default_parallelism()
     shuffle_partitions = shuffle_partitions or max(cores * 2, 8)
-    # On a real cluster set SPARK_MASTER_URL (or let spark-submit's
-    # --master win by passing it here); local[] is the sandbox default.
-    master = os.environ.get("SPARK_MASTER_URL", f"local[{cores}]")
+    b = SparkSession.builder.appName(app_name)
+    # Master resolution, in precedence order:
+    #   1. spark-submit's --master (PYSPARK_GATEWAY_PORT is set when
+    #      spark-submit's PythonRunner launches the driver python —
+    #      the JVM conf already carries spark.master, and forcing
+    #      .master() here would silently override the cluster choice);
+    #   2. SPARK_MASTER_URL env (explicit override for plain-python);
+    #   3. local[cores] — the sandbox/test default.
+    if "SPARK_MASTER_URL" in os.environ:
+        b = b.master(os.environ["SPARK_MASTER_URL"])
+    elif "PYSPARK_GATEWAY_PORT" not in os.environ:
+        b = b.master(f"local[{cores}]")
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         # AQE: runtime coalescing of small shuffle partitions and
         # skew-join splitting — both essential at 100 TB where static
