@@ -127,7 +127,11 @@ def bench_cdc_at(
         capture_output=True,
         text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
-        timeout=1800,
+        # headroom for the symmetric 10-rep N side under the host's
+        # documented 4× noise: ~65 s/rep steady × 10 × 4 ≫ the old
+        # 1800 s cap (a timeout here loses the whole bench including
+        # the already-finished query half)
+        timeout=3600,
     )
     if out.returncode != 0:
         raise RuntimeError(f"bench worker failed: {out.stderr[-2000:]}")

@@ -367,12 +367,15 @@ def main(argv: list[str] | None = None) -> int:
         # a hot/stop-adjacent token can have millions of postings:
         # count exactly, but cap what crosses to the driver (sort +
         # limit execute distributed as a partial top-k)
-        posts = ix.postings(args.token)
-        n_docs = posts.count()
-        docs = [
-            r["doc_id"]
-            for r in posts.orderBy("doc_id").limit(args.limit).collect()
-        ]
+        posts = ix.postings(args.token).persist()
+        try:
+            n_docs = posts.count()
+            docs = [
+                r["doc_id"]
+                for r in posts.orderBy("doc_id").limit(args.limit).collect()
+            ]
+        finally:
+            posts.unpersist(False)
         print(json.dumps({"token": args.token, "n_docs": n_docs,
                           "doc_ids": docs}))
     elif args.cmd == "index-contaminated":
@@ -381,12 +384,17 @@ def main(argv: list[str] | None = None) -> int:
         t = LakeTable.load(spark, args.table)
         ix = TokenIndex.load(spark, args.index)
         seq = [int(x) for x in args.tokens.split(",") if x.strip()]
-        hits = ix.contaminated_docs(t, seq)
-        n_docs = hits.count()
-        docs = [
-            r[t.key_col]
-            for r in hits.orderBy(t.key_col).limit(50).collect()
-        ]
+        # persist: the count and the display page must not re-run the
+        # bucket-pruned candidate generation + exact-verify join twice
+        hits = ix.contaminated_docs(t, seq).persist()
+        try:
+            n_docs = hits.count()
+            docs = [
+                r[t.key_col]
+                for r in hits.orderBy(t.key_col).limit(50).collect()
+            ]
+        finally:
+            hits.unpersist(False)
         print(json.dumps({"sequence": seq, "n_docs": n_docs,
                           "doc_ids": docs}))
     elif args.cmd == "show":

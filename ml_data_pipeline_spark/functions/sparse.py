@@ -95,6 +95,17 @@ def sparse_density(sp: Column) -> Column:
     return F.size(sp["indices"]) / sp["size"]
 
 
+def _seq0(n: Column) -> Column:
+    """Ascending ``[0, …, n-1]`` that is EMPTY for ``n <= 0``. Spark's
+    ``sequence(0, -1)`` infers step -1 and yields the descending
+    ``[0, -1]``, so an unguarded 0-length batch walks out-of-range
+    indices (ANSI error) — every per-row/per-column iteration below
+    goes through this guard."""
+    return F.when(
+        n > 0, F.sequence(F.lit(0), (n - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+
+
 # --------------------------------------------------------------- CSR batch
 
 
@@ -146,7 +157,7 @@ def csr_to_rows(csr: Column) -> Column:
     """CSR batch → array of COO row structs (inverse of
     ``rows_to_csr``); explode to recover the distributed layout."""
     return F.transform(
-        F.sequence(F.lit(0), csr["n_rows"] - 1),
+        _seq0(csr["n_rows"]),
         lambda i: csr_row(csr, i),
     )
 
@@ -164,7 +175,7 @@ def csr_spmv(csr: Column, dense: Column) -> Column:
         * F.element_at(dense, (i + 1).cast("int")).cast("double"),
     )
     return F.transform(
-        F.sequence(F.lit(0), csr["n_rows"] - 1),
+        _seq0(csr["n_rows"]),
         lambda r: F.aggregate(
             F.slice(
                 scaled,
@@ -232,7 +243,7 @@ def csc_to_cols(csc: Column) -> Column:
     """CSC batch → array of COO column structs (inverse of
     :func:`cols_to_csc`)."""
     return F.transform(
-        F.sequence(F.lit(0), csc["n_cols"] - 1),
+        _seq0(csc["n_cols"]),
         lambda j: csc_col(csc, j),
     )
 
@@ -250,7 +261,7 @@ def csc_vtm(csc: Column, dense: Column) -> Column:
         * F.element_at(dense, (i + 1).cast("int")).cast("double"),
     )
     return F.transform(
-        F.sequence(F.lit(0), csc["n_cols"] - 1),
+        _seq0(csc["n_cols"]),
         lambda c: F.aggregate(
             F.slice(
                 scaled,
@@ -284,13 +295,29 @@ def blocks_to_bsr(
 ) -> Column:
     """Array of ``struct(brow, bcol, block:array<double>)`` (bh·bw
     row-major elements each) → one BSR batch struct. Blocks are
-    canonicalized by (brow, bcol) sort; (brow, bcol) must be unique."""
+    canonicalized by (brow, bcol) sort; (brow, bcol) must be unique.
+
+    The matrix shape must tile exactly: ``n_rows % bh == 0`` and
+    ``n_cols % bw == 0`` (pad the edge tiles with zeros otherwise) —
+    a ragged edge would make ``bsr_spmv`` index the dense vector past
+    ``n_cols``. Validated here when the dims are Python ints (the
+    normal path); Column-typed dims carry the same contract."""
+    if isinstance(n_rows, int) and n_rows % bh != 0:
+        raise ValueError(
+            f"n_rows={n_rows} is not a multiple of bh={bh}; pad the "
+            "edge block rows with zeros"
+        )
+    if isinstance(n_cols, int) and n_cols % bw != 0:
+        raise ValueError(
+            f"n_cols={n_cols} is not a multiple of bw={bw}; pad the "
+            "edge block columns with zeros"
+        )
     nr = F.lit(n_rows) if isinstance(n_rows, int) else n_rows
     nc = F.lit(n_cols) if isinstance(n_cols, int) else n_cols
     srt = F.array_sort(blocks)  # struct order = field order = (brow, bcol)
-    n_brows = (nr.cast("int") + (bh - 1)) / bh
+    n_brows = F.floor((nr.cast("int") + (bh - 1)) / bh).cast("int")
     nnzs = F.transform(
-        F.sequence(F.lit(0), F.floor(n_brows).cast("int") - 1),
+        _seq0(n_brows),
         lambda br: F.size(F.filter(srt, lambda b: b["brow"] == br)),
     )
     indptr = F.aggregate(
@@ -341,9 +368,7 @@ def bsr_to_blocks(bsr: Column) -> Column:
     n_brows = F.size(bsr["indptr"]) - 1
     return F.flatten(
         F.filter(
-            F.transform(
-                F.sequence(F.lit(0), n_brows - 1), lambda br: row_blocks(br)
-            ),
+            F.transform(_seq0(n_brows), lambda br: row_blocks(br)),
             lambda arr: F.size(arr) > 0,
         )
     )
@@ -387,4 +412,4 @@ def bsr_spmv(bsr: Column, dense: Column) -> Column:
             ),
         ))
 
-    return F.transform(F.sequence(F.lit(0), bsr["n_rows"] - 1), out_i)
+    return F.transform(_seq0(bsr["n_rows"]), out_i)

@@ -39,9 +39,14 @@ import numpy as np
 # lookup) — fail loudly at import rather than prune silently wrong.
 # Every supported deployment target (x86-64, aarch64) is LE; port the
 # kernel with explicit byteswaps if that ever changes.
-assert sys.byteorder == "little", (
-    "lake.bloom's vectorized XXH64 kernel requires a little-endian host"
-)
+# A real `raise`, not `assert`: python -O strips asserts, which would
+# reintroduce exactly the silent wrong pruning this guard prevents.
+if sys.byteorder != "little":
+    raise ImportError(
+        "lake.bloom's vectorized XXH64 kernel requires a little-endian "
+        "host (big-endian would mis-hash keys and make bloom pruning "
+        "unsound); port the kernel with explicit byteswaps first"
+    )
 
 _P1 = 0x9E3779B185EBCA87
 _P2 = 0xC2B2AE3D27D4EB4F

@@ -129,10 +129,17 @@ def decode_image_real(payload: bytes) -> tuple[int, int, list[float]]:
         total = max(1, height * width)
         return height, width, [round(c / total, 6) for c in counts]
 
-    with Image.open(io.BytesIO(payload)) as im:
-        gray = im.convert("L")
-        width, height = gray.size
-        counts = gray.histogram()  # 256 bins
+    # Error contract: undecodable payloads raise ValueError on BOTH
+    # paths. PIL raises UnidentifiedImageError (an OSError subclass) —
+    # normalize it so callers catch one exception type regardless of
+    # which decoder the environment provides.
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            gray = im.convert("L")
+            width, height = gray.size
+            counts = gray.histogram()  # 256 bins
+    except Exception as e:
+        raise ValueError(f"undecodable image payload: {e}") from e
     total = max(1, height * width)
     hist = [
         round(sum(counts[i * 64 : (i + 1) * 64]) / total, 6) for i in range(4)

@@ -131,6 +131,13 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         if color_type == 3:
             rgb = bytearray(height * width * 3)
             for i, idx in enumerate(out):
+                if idx * 3 + 3 > len(palette):
+                    # short slice-assignment would silently CONTRACT
+                    # the buffer and misalign every later pixel
+                    raise ValueError(
+                        f"palette index {idx} out of range "
+                        f"({len(palette) // 3} PLTE entries)"
+                    )
                 rgb[i * 3 : i * 3 + 3] = palette[idx * 3 : idx * 3 + 3]
         elif color_type == 6:
             rgb = bytearray(height * width * 3)

@@ -151,3 +151,57 @@ def test_bsr_all_empty_block_row(spark):
     assert y == [1.0, 1.0, 0.0, 0.0, 2.0, 2.0]
     back = df.select(bsr_to_blocks(F.col("bsr")).alias("b")).collect()[0]["b"]
     assert [(x["brow"], x["bcol"]) for x in back] == [(0, 0), (2, 1)]
+
+
+def test_empty_batches_are_legal_values(spark):
+    """Round-5 review fix: a 0-row/0-column batch must round-trip and
+    multiply, not walk sequence(0,-1)=[0,-1] into an ANSI index error."""
+    from ml_data_pipeline_spark.functions.sparse import (
+        csr_spmv,
+        csr_to_rows,
+        rows_to_csr,
+    )
+
+    empty_cols = spark.createDataFrame(
+        [([],)],
+        "cols: array<struct<size:int, indices:array<int>, "
+        "values:array<double>>>",
+    ).select(cols_to_csc(F.col("cols"), 0).alias("csc"))
+    r = empty_cols.select(
+        csc_to_cols(F.col("csc")).alias("cols"),
+        csc_vtm(F.col("csc"), F.lit([1.0])).alias("y"),
+    ).collect()[0]
+    assert r["cols"] == [] and r["y"] == []
+
+    empty_rows = spark.createDataFrame(
+        [([],)],
+        "rows: array<struct<size:int, indices:array<int>, "
+        "values:array<double>>>",
+    ).select(rows_to_csr(F.col("rows"), 0).alias("csr"))
+    r = empty_rows.select(
+        csr_to_rows(F.col("csr")).alias("rows"),
+        csr_spmv(F.col("csr"), F.lit([1.0])).alias("y"),
+    ).collect()[0]
+    assert r["rows"] == [] and r["y"] == []
+
+    empty_bsr = spark.createDataFrame(
+        [([],)],
+        "blocks: array<struct<brow:int, bcol:int, block:array<double>>>",
+    ).select(blocks_to_bsr(F.col("blocks"), 0, 0, 2, 2).alias("bsr"))
+    r = empty_bsr.select(
+        bsr_to_blocks(F.col("bsr")).alias("bl"),
+        bsr_spmv(F.col("bsr"), F.lit([1.0])).alias("y"),
+    ).collect()[0]
+    assert r["bl"] == [] and r["y"] == []
+
+
+def test_bsr_rejects_ragged_shapes():
+    """n_rows/n_cols must tile exactly — a ragged edge would make
+    bsr_spmv index the dense vector past n_cols (review-verified ANSI
+    crash at multiply time); reject at construction instead."""
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple of bh"):
+        blocks_to_bsr(F.lit([]), 5, 4, 2, 2)
+    with pytest.raises(ValueError, match="multiple of bw"):
+        blocks_to_bsr(F.lit([]), 4, 3, 2, 2)

@@ -184,3 +184,16 @@ def test_rgb_roundtrip_property(w, h, ftype, data):
         for i in range(w * h)
     )
     assert (hh, ww, gray) == (h, w, expect)
+
+
+def test_palette_index_out_of_range_rejected():
+    """A pixel index past PLTE must raise the decoder's ValueError
+    contract — the old short slice-assignment silently CONTRACTED the
+    rgb buffer, misaligning every later pixel before an eventual bare
+    IndexError."""
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0])  # one entry
+    rows = b"\x00" + bytes([0, 5])  # index 5 >> palette size
+    png = _raw_png(ihdr, [(b"PLTE", plte), (b"IDAT", zlib.compress(rows))])
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(png)
