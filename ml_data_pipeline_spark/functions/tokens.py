@@ -138,7 +138,13 @@ def ngram_hashes(tokens: Column, n: int = 3) -> Column:
     """Rolling n-gram hashes of a token array — built-in expression
     (xxhash64 over sliding windows), the candidate-key generator for
     token-level near-dup detection. JVM-side: no Python boundary."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0)))
+    # guard arrays shorter than n: sequence(1, 0) is the DESCENDING
+    # [1, 0], and slice(tokens, 0, n) is an ANSI error — a short array
+    # has no n-grams, full stop
+    idx = F.when(
+        F.size(tokens) >= n,
+        F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx, lambda i: F.xxhash64(F.concat_ws(",", F.slice(tokens, i, n)))
     )

@@ -86,3 +86,14 @@ def test_stats_columns(spark):
         4,
         3,
     )
+
+
+def test_ngram_hashes_short_and_empty_arrays(spark):
+    """Arrays shorter than n have NO n-grams — previously
+    sequence(1,0)=[1,0] walked slice(tokens, 0, n) into an ANSI
+    error (review-probe verified crash)."""
+    df = spark.createDataFrame(
+        [([1, 2],), ([],), ([1, 2, 3, 4],)], "tokens: array<int>"
+    )
+    out = df.select(TK.ngram_hashes(F.col("tokens"), 3).alias("h")).collect()
+    assert [len(r["h"]) for r in out] == [0, 0, 2]
