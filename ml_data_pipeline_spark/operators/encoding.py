@@ -15,7 +15,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ml_data_pipeline_spark.sources.tables import load_table
+from ml_data_pipeline_spark.sources.tables import (
+    load_table,
+    load_table_spread,
+)
 
 
 def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,6 +177,9 @@ def jdbc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark._jvm.java.lang.System.setProperty(
         "derby.stream.error.file", os.path.join(tempfile.gettempdir(), "derby.log")
     )
+    # Plain load (no spread): the write is coalesce(1) by Derby's
+    # single-writer constraint, so a prior repartition would be a pure
+    # extra shuffle feeding one task anyway.
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -196,6 +202,15 @@ def jdbc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("batchsize", "10000")
         .save()
     )
+    # Range-split bounds from the REAL key range (one metadata-cheap
+    # min/max over the parquet source): the former fixed upperBound of
+    # 1e9 put every actual event_id (< ~1M per sf) into the first of 4
+    # range partitions — a single-threaded read dressed up as a
+    # parallel one. Real JDBC readers derive bounds the same way
+    # (SELECT min/max) before splitting.
+    lo, hi = e.agg(
+        F.min("event_id"), F.max("event_id")
+    ).first()
     back = (
         spark.read.format("jdbc")
         .option("url", url)
@@ -203,9 +218,9 @@ def jdbc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("driver", DERBY_DRIVER)
         # the production read path: range-split the scan
         .option("partitionColumn", "event_id")
-        .option("lowerBound", "0")
-        .option("upperBound", "1000000000")
-        .option("numPartitions", "4")
+        .option("lowerBound", str(int(lo)))
+        .option("upperBound", str(int(hi) + 1))
+        .option("numPartitions", "8")
         .load()
     )
     return (

@@ -17,7 +17,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ml_data_pipeline_spark.sources.tables import load_table
+from ml_data_pipeline_spark.sources.tables import (
+    load_table,
+    load_table_spread,
+)
 
 
 def _dot(a, b):
@@ -45,10 +48,13 @@ def ann_topk_cosine(
     with a distributed partial top-k (TakeOrderedAndProject) — no full
     sort, no shuffle of the vectors.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("q_emb")
-    )
+    # The corpus side gets the spread (cosine fold per row must not run
+    # on the single row-group-bound scan task); the 1-row query lookup
+    # keeps the plain scan.
+    e = load_table_spread(spark, sf_dir, "embeddings")
+    q = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") == query_vec_id
+    ).select(F.col("embedding").alias("q_emb"))
     return (
         e.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != query_vec_id)
@@ -218,8 +224,10 @@ def knn_classify(
     """
     from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id").isin(IVF_QUERIES)).select(
+    e = load_table_spread(spark, sf_dir, "embeddings")
+    q = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id").isin(IVF_QUERIES)
+    ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     scored = (
@@ -262,6 +270,70 @@ def _rha_div(s: int, n: int) -> int:
     if s >= 0:
         return (2 * s + n) // (2 * n)
     return -((-2 * s + n) // (2 * n))
+
+
+# Above this many centroids, per-row assignment switches from the
+# codegen'd O(k·d) expression fold to an executor-side numpy GEMM
+# argmin over broadcast centroids: at the 65,536-cell quantizer clamp
+# the fold is ~4M multiply-adds per vector in interpreted-expression
+# form where a blocked int64 GEMM is two orders cheaper (round-5
+# verdict, "make the trained quantizer honest at its own clamp").
+# Registry queries run k=8/16 and never take this path.
+KM_ASSIGN_GEMM_CELLS = 1024
+
+
+def _assign_gemm(
+    spark: SparkSession, e: DataFrame, centroids: list[list[int]]
+) -> DataFrame:
+    """Exact fixed-point cluster assignment via numpy int64 GEMM.
+
+    Same arithmetic as the expression fold, bit for bit: dist² =
+    |a|² − 2a·b + |b|² over int64 (|ev| ≤ ~10^6 scaled, so a·b ≤
+    64·10^12 — no overflow), ties break to the lowest cluster index
+    (np.argmin returns the first minimum, matching
+    array_position(array_min)). Centroids travel as a Spark broadcast
+    (k·d int64 ≈ 33 MB at the clamp), built once per task, reused
+    across Arrow batches.
+    """
+    import numpy as np
+
+    bc = spark.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.int64)
+    )
+
+    def assign(batches):
+        import pyarrow as pa
+
+        c = bc.value
+        c_n2 = (c * c).sum(axis=1)  # (k,)
+        for batch in batches:
+            ids = batch.column("vec_id")
+            ev = batch.column("ev")
+            m = len(ev)
+            if m == 0:
+                continue
+            mat = ev.flatten().to_numpy(zero_copy_only=False).reshape(m, -1)
+            mat = mat.astype(np.int64, copy=False)
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                - 2 * (mat @ c.T)
+                + c_n2[None, :]
+            )
+            cl = d2.argmin(axis=1)
+            best = d2[np.arange(m), cl]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    ev,
+                    pa.array(cl.astype(np.int32)),
+                    pa.array(best),
+                ],
+                names=["vec_id", "ev", "cluster", "dist2"],
+            )
+
+    return e.select("vec_id", "ev").mapInArrow(
+        assign, "vec_id bigint, ev array<bigint>, cluster int, dist2 bigint"
+    )
 
 
 def kmeans_fit(
@@ -308,7 +380,10 @@ def kmeans_fit(
     # aggregate over bigint) is unchanged, so the exact fixed-point
     # semantics and the DuckDB oracle stand. k×d ints ride along with
     # the compiled plan — model state, not data.
-    e = load_table(spark, sf_dir, "embeddings")
+    # Spread BEFORE the persist: the shared testdata is one row group,
+    # so without it the materialized cache — and therefore every Lloyd
+    # scan of every iteration — lives on a single partition/core.
+    e = load_table_spread(spark, sf_dir, "embeddings")
     if sample_mod is not None and sample_mod > 1:
         # Deterministic hash sample (~1/sample_mod of the corpus) for
         # quantizer training at scale: Lloyd centroids converge on a
@@ -341,31 +416,46 @@ def kmeans_fit(
             lambda acc, v: acc + v,
         ),
     )
+    d = len(centroids[0])
     assigned = None
     for _ in range(iters):
-        cents_lit = F.lit(centroids).cast("array<array<bigint>>")
-        assigned = e.withColumn("_cents", cents_lit).select(
-            "vec_id",
-            "ev",
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int")
-            .alias("cluster"),
-            F.array_min(dists).alias("dist2"),
-        )
+        if k > KM_ASSIGN_GEMM_CELLS:
+            assigned = _assign_gemm(spark, e, centroids)
+        else:
+            cents_lit = F.lit(centroids).cast("array<array<bigint>>")
+            assigned = e.withColumn("_cents", cents_lit).select(
+                "vec_id",
+                "ev",
+                (F.array_position(dists, F.array_min(dists)) - 1)
+                .cast("int")
+                .alias("cluster"),
+                F.array_min(dists).alias("dist2"),
+            )
+        # Centroid update as k rows of d per-dim sums (round-5 verdict
+        # fix, and a straight win at every k): the former
+        # posexplode → groupBy(cluster, dim) shape multiplied the scan
+        # output d× (1.28M agg input rows per iteration at sf1) and
+        # collected k·d Row objects to the driver — ~4.2M at the
+        # 65,536-cell clamp. This shape aggregates d bigint sums per
+        # cluster (identical exact arithmetic, hash-aggregable fixed
+        # width) and collects exactly k rows; driver traffic is O(k·d)
+        # VALUES but k OBJECTS. Vectors are fixed-dim (enforced by the
+        # zip_with distance fold upstream), so the per-cluster count
+        # equals every per-dim count of the old shape.
         cells = (
-            assigned.select("cluster", F.posexplode("ev").alias("dim", "v"))
-            .groupBy("cluster", "dim")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("ev")[j]).alias(f"s{j}") for j in range(d)],
+            )
             .collect()
         )
         new_c = [list(c) for c in centroids]  # empty clusters keep position
-        by_cluster: dict[int, dict[int, int]] = {}
         for r in cells:
-            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = _rha_div(
-                int(r["s"]), int(r["n"])
-            )
-        for ci, dims in by_cluster.items():
-            new_c[ci] = [dims[j] for j in sorted(dims)]
+            n = int(r["n"])
+            new_c[int(r["cluster"])] = [
+                _rha_div(int(r[f"s{j}"]), n) for j in range(d)
+            ]
         centroids = new_c
     e.unpersist(False)
     cent_f = [[c / KM_SCALE for c in row] for row in centroids]
@@ -486,7 +576,10 @@ def ivf_quantizer(
     if n_cells is None:
         n_rows = load_table(spark, sf_dir, "embeddings").count()
         n_cells = derived_n_cells(n_rows)
-        mod = max(1, n_rows // IVF_TRAIN_ROWS)
+        # Ceil division (round-5 advice): floor put the expected sample
+        # in [262k, 524k) — e.g. 524,287 rows gave mod=1 and trained on
+        # the full corpus, 2× the documented "≤ ~IVF_TRAIN_ROWS" cap.
+        mod = max(1, -(-n_rows // IVF_TRAIN_ROWS))
     else:
         mod = 1
     cents, _ = kmeans_fit(
@@ -518,7 +611,7 @@ def ivf_ann_topk(
     of the handful of queries → per-query top-k window; data vectors
     never shuffle.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table_spread(spark, sf_dir, "embeddings")
     if quantizer == "kmeans":
         # pass `centroids` (from ivf_quantizer) to train once and
         # probe many times

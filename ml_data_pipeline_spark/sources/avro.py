@@ -301,9 +301,12 @@ def avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from ml_data_pipeline_spark.sources.tables import load_table
+    from ml_data_pipeline_spark.sources.tables import load_table_spread
 
-    e = load_table(spark, sf_dir, "events").select(
+    # Spread: the write is a per-partition Python encode — on the
+    # single-row-group testdata the whole 1M-row container would
+    # otherwise be encoded (and later decoded, one file) on one core.
+    e = load_table_spread(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
     out = os.path.join(

@@ -66,6 +66,23 @@ def test_similarity_queries_stay_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_ngram_no_forced_broadcast_of_size_tables(spark, sf_dir):
+    """Round-5 verdict #1: the Jaccard size-table joins must not
+    hardcode a broadcast of an O(n_docs) relation — at the 10^9-doc
+    design point a forced broadcast of per-document sizes is a driver
+    OOM. The ANALYZED plan must carry no ResolvedHint/UnresolvedHint
+    (AQE may still *choose* broadcast at runtime while the sizes fit
+    the threshold — that is the desired behavior)."""
+    df = dedup.ngram_jaccard_pairs(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+    # and the source carries no F.broadcast on the size tables
+    import inspect
+
+    src = inspect.getsource(dedup.ngram_jaccard_pairs)
+    assert "F.broadcast(" not in src and ".hint(" not in src
+
+
 def test_latest_event_is_partial_aggregable(spark, sf_dir):
     # the max(struct) reduction must show a partial_max before the
     # exchange (map-side combine — the skew defense)
