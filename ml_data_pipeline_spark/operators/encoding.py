@@ -199,7 +199,9 @@ def jdbc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("url", url)
         .option("dbtable", "events_rt")
         .option("driver", DERBY_DRIVER)
-        .option("batchsize", "10000")
+        # 50k-row batches: measured 7.6 s (10k) vs 5.9 s (50k) for the
+        # same 1M-row single-connection write at sf1.
+        .option("batchsize", "50000")
         .save()
     )
     # Range-split bounds from the REAL key range (one metadata-cheap

@@ -120,9 +120,18 @@ def decode_image_real(payload: bytes) -> tuple[int, int, list[float]]:
     try:
         from PIL import Image
     except ImportError:
+        import struct
+        import zlib
+
         from ml_data_pipeline_spark.operators.png_codec import decode_png
 
-        height, width, gray = decode_png(payload)
+        # Error contract (round-5 advice): undecodable payloads raise
+        # ValueError on BOTH paths. decode_png leaks struct.error on a
+        # truncated chunk and zlib.error on corrupt IDAT — normalize.
+        try:
+            height, width, gray = decode_png(payload)
+        except (struct.error, zlib.error) as e:
+            raise ValueError(f"undecodable image payload: {e}") from e
         counts = [0] * 4
         for px in gray:
             counts[px >> 6] += 1

@@ -37,17 +37,17 @@ def build_session(
     cores = cores or default_parallelism()
     shuffle_partitions = shuffle_partitions or max(cores * 2, 8)
     b = SparkSession.builder.appName(app_name)
-    # Master resolution, in precedence order:
+    # Master resolution, in precedence order (round-5 advice fix: the
+    # check order now matches the documented precedence — under
+    # spark-submit we NEVER call .master(), even if SPARK_MASTER_URL
+    # is also set, so the env var cannot silently override --master):
     #   1. spark-submit's --master (PYSPARK_GATEWAY_PORT is set when
     #      spark-submit's PythonRunner launches the driver python —
-    #      the JVM conf already carries spark.master, and forcing
-    #      .master() here would silently override the cluster choice);
+    #      the JVM conf already carries spark.master);
     #   2. SPARK_MASTER_URL env (explicit override for plain-python);
     #   3. local[cores] — the sandbox/test default.
-    if "SPARK_MASTER_URL" in os.environ:
-        b = b.master(os.environ["SPARK_MASTER_URL"])
-    elif "PYSPARK_GATEWAY_PORT" not in os.environ:
-        b = b.master(f"local[{cores}]")
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        b = b.master(os.environ.get("SPARK_MASTER_URL", f"local[{cores}]"))
     b = (
         b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))

@@ -82,3 +82,54 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
         if prev is not None:
             assert cur <= prev * (1 + 1e-8)
         prev = cur
+
+
+def test_large_k_gemm_assignment_matches_expression_fold(spark, sf_dir):
+    """Round-6 (verdict #2): above KM_ASSIGN_GEMM_CELLS the per-row
+    assignment switches to an executor-side numpy int64 GEMM argmin
+    over broadcast centroids. Pin that the GEMM path is (a) actually
+    taken at large k and (b) bit-identical to the expression fold —
+    same argmin ties (lowest index) and exact integer dist²."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ml_data_pipeline_spark.operators.similarity import (
+        KM_ASSIGN_GEMM_CELLS,
+        _assign_gemm,
+    )
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * KM_SCALE, 0).cast(
+                    "bigint"
+                ),
+            ).alias("ev"),
+        )
+        .limit(200)
+    )
+    rows = e.collect()
+    d = len(rows[0]["ev"])
+    k = KM_ASSIGN_GEMM_CELLS + 6  # past the switch threshold
+    rng = np.random.default_rng(7)
+    cents = rng.integers(-(10**6), 10**6, size=(k, d)).tolist()
+    # duplicate centroid 3 at index k-1: ties must break to index 3
+    cents[k - 1] = list(cents[3])
+
+    gemm = {
+        r["vec_id"]: (r["cluster"], r["dist2"])
+        for r in _assign_gemm(spark, e, cents).collect()
+    }
+    # independent reference: exact integer math per row
+    c = np.array(cents, dtype=object)
+    for r in rows:
+        v = np.array(list(r["ev"]), dtype=object)
+        d2 = ((c - v[None, :]) ** 2).sum(axis=1)
+        want_cl = int(np.argmin(d2))
+        want_d2 = int(d2[want_cl])
+        got_cl, got_d2 = gemm[r["vec_id"]]
+        assert got_cl == want_cl, (r["vec_id"], got_cl, want_cl)
+        assert got_d2 == want_d2, (r["vec_id"], got_d2, want_d2)
