@@ -22,6 +22,11 @@ from ml_data_pipeline_spark.sources.tables import (
     load_table_spread,
 )
 
+# Vector folds are ~10x cheaper per input byte than md5 shingling:
+# below this table size the spread exchange costs more than the
+# parallelism it buys (measured at sf0.1: ann_topk +0.2 s).
+VEC_SPREAD_MIN_BYTES = 2 * 1024 * 1024
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -51,7 +56,9 @@ def ann_topk_cosine(
     # The corpus side gets the spread (cosine fold per row must not run
     # on the single row-group-bound scan task); the 1-row query lookup
     # keeps the plain scan.
-    e = load_table_spread(spark, sf_dir, "embeddings")
+    e = load_table_spread(
+        spark, sf_dir, "embeddings", min_bytes=VEC_SPREAD_MIN_BYTES
+    )
     q = load_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") == query_vec_id
     ).select(F.col("embedding").alias("q_emb"))
@@ -224,7 +231,9 @@ def knn_classify(
     """
     from pyspark.sql.window import Window
 
-    e = load_table_spread(spark, sf_dir, "embeddings")
+    e = load_table_spread(
+        spark, sf_dir, "embeddings", min_bytes=VEC_SPREAD_MIN_BYTES
+    )
     q = load_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id").isin(IVF_QUERIES)
     ).select(
@@ -383,7 +392,9 @@ def kmeans_fit(
     # Spread BEFORE the persist: the shared testdata is one row group,
     # so without it the materialized cache — and therefore every Lloyd
     # scan of every iteration — lives on a single partition/core.
-    e = load_table_spread(spark, sf_dir, "embeddings")
+    e = load_table_spread(
+        spark, sf_dir, "embeddings", min_bytes=VEC_SPREAD_MIN_BYTES
+    )
     if sample_mod is not None and sample_mod > 1:
         # Deterministic hash sample (~1/sample_mod of the corpus) for
         # quantizer training at scale: Lloyd centroids converge on a
@@ -431,31 +442,57 @@ def kmeans_fit(
                 .alias("cluster"),
                 F.array_min(dists).alias("dist2"),
             )
-        # Centroid update as k rows of d per-dim sums (round-5 verdict
-        # fix, and a straight win at every k): the former
-        # posexplode → groupBy(cluster, dim) shape multiplied the scan
-        # output d× (1.28M agg input rows per iteration at sf1) and
-        # collected k·d Row objects to the driver — ~4.2M at the
-        # 65,536-cell clamp. This shape aggregates d bigint sums per
-        # cluster (identical exact arithmetic, hash-aggregable fixed
-        # width) and collects exactly k rows; driver traffic is O(k·d)
-        # VALUES but k OBJECTS. Vectors are fixed-dim (enforced by the
-        # zip_with distance fold upstream), so the per-cluster count
-        # equals every per-dim count of the old shape.
-        cells = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("ev")[j]).alias(f"s{j}") for j in range(d)],
+        # Centroid update, two shapes (round-6 A/B at both sf0.1 and
+        # sf1 — identical exact arithmetic either way):
+        #
+        # * small k (registry k=8/16): posexplode → groupBy(cluster,
+        #   dim). The k-row alternative below benched ~0.2 s/iteration
+        #   SLOWER here — its d+1-expression aggregate pays more in
+        #   per-iteration analysis than the d× row multiplication
+        #   costs at these sizes (sf1, spread: 4.1 s vs 5.0 s for the
+        #   full query).
+        # * large k (> KM_ASSIGN_GEMM_CELLS, the trained-quantizer
+        #   clamp — round-5 verdict #2): k rows of d per-dim bigint
+        #   sums. posexplode would collect k·d Row objects (~4.2M at
+        #   65,536 cells × 64 dims); this collects exactly k rows
+        #   (driver traffic O(k) objects). Vectors are fixed-dim
+        #   (enforced by the zip_with distance fold), so the
+        #   per-cluster count equals every per-dim count.
+        if k > KM_ASSIGN_GEMM_CELLS:
+            cells = (
+                assigned.groupBy("cluster")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.col("ev")[j]).alias(f"s{j}")
+                        for j in range(d)
+                    ],
+                )
+                .collect()
             )
-            .collect()
-        )
-        new_c = [list(c) for c in centroids]  # empty clusters keep position
-        for r in cells:
-            n = int(r["n"])
-            new_c[int(r["cluster"])] = [
-                _rha_div(int(r[f"s{j}"]), n) for j in range(d)
-            ]
+            new_c = [list(c) for c in centroids]  # empty clusters keep position
+            for r in cells:
+                n = int(r["n"])
+                new_c[int(r["cluster"])] = [
+                    _rha_div(int(r[f"s{j}"]), n) for j in range(d)
+                ]
+        else:
+            cells = (
+                assigned.select(
+                    "cluster", F.posexplode("ev").alias("dim", "v")
+                )
+                .groupBy("cluster", "dim")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            new_c = [list(c) for c in centroids]  # empty clusters keep position
+            by_cluster: dict[int, dict[int, int]] = {}
+            for r in cells:
+                by_cluster.setdefault(r["cluster"], {})[r["dim"]] = _rha_div(
+                    int(r["s"]), int(r["n"])
+                )
+            for ci, dims in by_cluster.items():
+                new_c[ci] = [dims[j] for j in sorted(dims)]
         centroids = new_c
     e.unpersist(False)
     cent_f = [[c / KM_SCALE for c in row] for row in centroids]
@@ -611,7 +648,9 @@ def ivf_ann_topk(
     of the handful of queries → per-query top-k window; data vectors
     never shuffle.
     """
-    e = load_table_spread(spark, sf_dir, "embeddings")
+    e = load_table_spread(
+        spark, sf_dir, "embeddings", min_bytes=VEC_SPREAD_MIN_BYTES
+    )
     if quantizer == "kmeans":
         # pass `centroids` (from ivf_quantizer) to train once and
         # probe many times

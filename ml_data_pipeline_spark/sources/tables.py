@@ -33,15 +33,48 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def spread_partitions(spark: SparkSession) -> int:
+# Compressed input bytes per spread partition. Parquet text/array
+# columns decode at ~10-15× file size, so 256 KB of file ≈ 2-4 MB of
+# rows — small enough that the expensive per-row work above the spread
+# parallelizes, big enough that a tiny input does not fan out into
+# pure task-scheduling overhead (measured: a fixed 96-way spread cost
+# kmeans_clusters +1.8 s and ann_topk +0.23 s at sf0.1, where the
+# whole table is under 1 MB). Env-overridable for experiments.
+SPREAD_TARGET_FILE_BYTES = int(
+    os.environ.get("SPREAD_TARGET_FILE_BYTES", 256 * 1024)
+)
+
+
+def _input_bytes(sf_dir: str, name: str) -> int:
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(p):
+        return os.path.getsize(p)
+    total = 0
+    for dirpath, _dirs, files in os.walk(p):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
+def spread_partitions(spark: SparkSession, input_bytes: int) -> int:
     """Round-robin fan-out width for CPU-heavy per-row pipelines:
-    3 waves per core (mirrors session.py's minPartitionNum rationale —
-    fine-grained tasks absorb stragglers under host CPU steal).
-    Derived from the session's parallelism, never a constant."""
-    return spark.sparkContext.defaultParallelism * 3
+    derived from the INPUT SIZE (one partition per
+    ``SPREAD_TARGET_FILE_BYTES`` of compressed input), clamped to at
+    most 3 waves per core (mirrors session.py's minPartitionNum
+    rationale — fine-grained tasks absorb stragglers under host CPU
+    steal). Never a constant: a 600 KB table fans out 3-way, a 6 MB
+    table 24-way, anything huge caps at 3×cores."""
+    cores = spark.sparkContext.defaultParallelism
+    by_size = -(-max(1, input_bytes) // SPREAD_TARGET_FILE_BYTES)
+    return max(2, min(cores * 3, by_size))
 
 
-def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table_spread(
+    spark: SparkSession, sf_dir: str, name: str, min_bytes: int = 0
+) -> DataFrame:
     """Load + round-robin repartition: the input-skew remedy for
     row-group-bound scans feeding expensive per-row work.
 
@@ -63,7 +96,17 @@ def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     aggregate is order-independent by the oracle rules (exact decimal /
     integer sums, min/max of strings), so row-to-partition assignment
     cannot change any value.
+
+    ``min_bytes``: below this compressed input size the plain load is
+    returned (no repartition). Callers whose per-row work is only
+    moderately expensive (vector folds — ~10× cheaper per byte than
+    md5 shingling) set it so tiny inputs skip the exchange: measured
+    at sf0.1 (0.8 MB embeddings) the spread cost ann_topk +0.2 s for
+    no parallelism worth having, while at sf1 (5.9 MB) it wins 9.9 →
+    4.1 s on kmeans.
     """
-    return load_table(spark, sf_dir, name).repartition(
-        spread_partitions(spark)
-    )
+    b = _input_bytes(sf_dir, name)
+    df = load_table(spark, sf_dir, name)
+    if b < min_bytes:
+        return df
+    return df.repartition(spread_partitions(spark, b))
