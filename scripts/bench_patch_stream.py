@@ -54,6 +54,12 @@ def _worker() -> None:
         for d in os.listdir(events_dir)
         if d.startswith("chunk=")
     )
+    # Two micro-batches of 4 chunks each — the same batch sizing as the
+    # I/U/D bench (maxFilesPerTrigger=128 over 256 files): per-batch
+    # driver fixed costs (refresh, snapshot commit, worker spin-up)
+    # amortize over millions of events, so the measurement is the
+    # patch REDUCE, not the trigger overhead.
+    groups = [chunks[: len(chunks) // 2], chunks[len(chunks) // 2:]]
     walls = []
     for _ in range(reps):
         work = tempfile.mkdtemp(prefix=f"patch-bench-{cores}-")
@@ -63,8 +69,8 @@ def _worker() -> None:
             properties={"patch.enabled": "true"},
         )
         t0 = time.monotonic()
-        for i, chunk in enumerate(chunks):
-            df = spark.read.parquet(chunk)
+        for i, grp in enumerate(groups):
+            df = spark.read.parquet(*grp)
             tbl.merge_batch(df, batch_id=i, stream_id="patchbench")
         walls.append(time.monotonic() - t0)
         shutil.rmtree(work, ignore_errors=True)
