@@ -15,10 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ml_data_pipeline_spark.sources.tables import (
-    load_table,
-    load_table_spread,
-)
+from ml_data_pipeline_spark.sources.tables import load_table
 
 
 def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
