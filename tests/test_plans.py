@@ -83,6 +83,25 @@ def test_ngram_no_forced_broadcast_of_size_tables(spark, sf_dir):
     assert "F.broadcast(" not in src and ".hint(" not in src
 
 
+def test_shingle_expression_not_duplicated_into_filters(spark, sf_dir):
+    """Round-6 regression pin: exploding shingles must be written as
+    ONE select(explode(expr)). The two-step select(sh) →
+    select(explode(sh)) shape makes the planner push the generator's
+    emptiness filter — which re-evaluates the WHOLE shingle expression
+    — below the spread exchange onto the unsplittable single-row-group
+    scan (measured 14.3 s vs 1.3 s at sf1; the driver-visible 54 s
+    rep1 cliff of round 5). Pin: no Filter node's condition contains
+    the shingle expression (its `array_join` marker); the expression
+    is evaluated only in Generate/aggregate nodes."""
+    import re
+
+    for fn in (dedup.ngram_jaccard_pairs, dedup.minhash_signatures):
+        plan = _explain_formatted(fn(spark, sf_dir))
+        conditions = re.findall(r"Condition : (.*)", plan)
+        offenders = [c for c in conditions if "array_join" in c]
+        assert not offenders, (fn.__name__, offenders[:1])
+
+
 def test_latest_event_is_partial_aggregable(spark, sf_dir):
     # the max(struct) reduction must show a partial_max before the
     # exchange (map-side combine — the skew defense)
