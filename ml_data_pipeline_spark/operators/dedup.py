@@ -187,6 +187,12 @@ def minhash_lsh_candidates(
     # self-join consume it, and without the persist the explode+8×md5
     # agg runs twice (measured ~1.6 s per pass at sf1 even with the
     # shingle arrays cached). One row of 8 hashes per document.
+    # (No unpersist path, deliberately: the returned DataFrame is lazy,
+    # so there is no safe point inside this function to release the
+    # cache. Re-invocations build an IDENTICAL logical plan and the
+    # CacheManager reuses the existing entry rather than adding one —
+    # repeated bench reps do not accumulate storage; distinct sf_dirs
+    # add one bounded entry each.)
     sig = (
         d.select("doc_id", F.explode("sh").alias("s"))
         .groupBy("doc_id")

@@ -210,6 +210,8 @@ def jdbc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = e.agg(
         F.min("event_id"), F.max("event_id")
     ).first()
+    if lo is None or hi is None:  # empty table: any non-degenerate range
+        lo, hi = 0, 1
     back = (
         spark.read.format("jdbc")
         .option("url", url)

@@ -291,18 +291,35 @@ def _rha_div(s: int, n: int) -> int:
 KM_ASSIGN_GEMM_CELLS = 1024
 
 
+# Distance-matrix tile edges for _assign_gemm: peak per-task memory is
+# GEMM_ROWS_BLOCK × GEMM_CENT_BLOCK int64 (~64 MB) regardless of k —
+# without tiling the 65,536-cell clamp × a 10k-row Arrow batch would
+# allocate a 5.2 GB d² matrix per task (round-6 review finding; same
+# tile-squared lesson as the round-5 cosine sub-blocking).
+GEMM_ROWS_BLOCK = 2048
+GEMM_CENT_BLOCK = 4096
+
+
 def _assign_gemm(
-    spark: SparkSession, e: DataFrame, centroids: list[list[int]]
-) -> DataFrame:
+    spark: SparkSession,
+    e: DataFrame,
+    centroids: list[list[int]],
+    rows_block: int = GEMM_ROWS_BLOCK,
+    cent_block: int = GEMM_CENT_BLOCK,
+) -> tuple[DataFrame, "object"]:
     """Exact fixed-point cluster assignment via numpy int64 GEMM.
 
     Same arithmetic as the expression fold, bit for bit: dist² =
     |a|² − 2a·b + |b|² over int64 (|ev| ≤ ~10^6 scaled, so a·b ≤
-    64·10^12 — no overflow), ties break to the lowest cluster index
-    (np.argmin returns the first minimum, matching
-    array_position(array_min)). Centroids travel as a Spark broadcast
-    (k·d int64 ≈ 33 MB at the clamp), built once per task, reused
-    across Arrow batches.
+    64·10^12 — no overflow), ties break to the lowest cluster index.
+    The distance matrix is computed in (rows × centroid) tiles; the
+    running best is replaced only on STRICTLY smaller dist², and
+    centroid tiles are visited in ascending index order, so the
+    chunked argmin keeps the first-minimum tie rule of
+    ``array_position(array_min)``. Centroids travel as a Spark
+    broadcast (k·d int64 ≈ 33 MB at the clamp), built once per task,
+    reused across Arrow batches; the broadcast handle is returned so
+    the caller can release it once the plan is consumed.
     """
     import numpy as np
 
@@ -315,6 +332,7 @@ def _assign_gemm(
 
         c = bc.value
         c_n2 = (c * c).sum(axis=1)  # (k,)
+        k = c.shape[0]
         for batch in batches:
             ids = batch.column("vec_id")
             ev = batch.column("ev")
@@ -323,13 +341,30 @@ def _assign_gemm(
                 continue
             mat = ev.flatten().to_numpy(zero_copy_only=False).reshape(m, -1)
             mat = mat.astype(np.int64, copy=False)
-            d2 = (
-                (mat * mat).sum(axis=1)[:, None]
-                - 2 * (mat @ c.T)
-                + c_n2[None, :]
-            )
-            cl = d2.argmin(axis=1)
-            best = d2[np.arange(m), cl]
+            cl = np.empty(m, dtype=np.int64)
+            best = np.empty(m, dtype=np.int64)
+            for r0 in range(0, m, rows_block):
+                rows = mat[r0 : r0 + rows_block]
+                rn2 = (rows * rows).sum(axis=1)
+                rb = None
+                ri = None
+                for c0 in range(0, k, cent_block):
+                    cb = c[c0 : c0 + cent_block]
+                    d2 = (
+                        rn2[:, None]
+                        - 2 * (rows @ cb.T)
+                        + c_n2[c0 : c0 + cent_block][None, :]
+                    )
+                    li = d2.argmin(axis=1)
+                    lb = d2[np.arange(len(rows)), li]
+                    if rb is None:
+                        rb, ri = lb, li + c0
+                    else:
+                        better = lb < rb  # strict: earlier tile wins ties
+                        ri = np.where(better, li + c0, ri)
+                        rb = np.where(better, lb, rb)
+                cl[r0 : r0 + len(rows)] = ri
+                best[r0 : r0 + len(rows)] = rb
             yield pa.RecordBatch.from_arrays(
                 [
                     ids,
@@ -340,9 +375,10 @@ def _assign_gemm(
                 names=["vec_id", "ev", "cluster", "dist2"],
             )
 
-    return e.select("vec_id", "ev").mapInArrow(
+    out = e.select("vec_id", "ev").mapInArrow(
         assign, "vec_id bigint, ev array<bigint>, cluster int, dist2 bigint"
     )
+    return out, bc
 
 
 def kmeans_fit(
@@ -429,9 +465,10 @@ def kmeans_fit(
     )
     d = len(centroids[0])
     assigned = None
+    prev_bc = None  # previous iteration's centroid broadcast (GEMM path)
     for _ in range(iters):
         if k > KM_ASSIGN_GEMM_CELLS:
-            assigned = _assign_gemm(spark, e, centroids)
+            assigned, bc = _assign_gemm(spark, e, centroids)
         else:
             cents_lit = F.lit(centroids).cast("array<array<bigint>>")
             assigned = e.withColumn("_cents", cents_lit).select(
@@ -476,6 +513,13 @@ def kmeans_fit(
                 new_c[int(r["cluster"])] = [
                     _rha_div(int(r[f"s{j}"]), n) for j in range(d)
                 ]
+            # This iteration's collect consumed the PREVIOUS iteration's
+            # assignment plan for good — release its ~k·d·8-byte
+            # centroid broadcast (the last one must stay alive: the
+            # returned lazy `assigned` still references it).
+            if prev_bc is not None:
+                prev_bc.unpersist(blocking=False)
+            prev_bc = bc
         else:
             cells = (
                 assigned.select(

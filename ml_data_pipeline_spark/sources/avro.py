@@ -310,6 +310,11 @@ def write_avro_pandas(
 ) -> bytes:
     """Container-file encode of a pandas DataFrame: numpy fast path
     for primitive schemas, exact row-loop fallback otherwise."""
+    # Align columns to the SCHEMA order first: the fast path resolves
+    # fields by name, but the row-loop fallback zips tuples with
+    # schema.fields positionally — without this reorder the two paths
+    # would encode different data for a reordered DataFrame.
+    pdf = pdf[[f.name for f in schema.fields]]
     block = _encode_block_numpy(pdf, schema)
     if block is None:
         return write_avro_bytes(

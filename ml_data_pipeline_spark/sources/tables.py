@@ -59,6 +59,28 @@ def _input_bytes(sf_dir: str, name: str) -> int:
     return total
 
 
+def _effective_scan_parallelism(sf_dir: str, name: str) -> int:
+    """True unit count of scan parallelism for the table: number of
+    data files for a directory, number of row groups for a single
+    file (one cheap footer read). Spark's split count is NOT usable
+    here — minPartitionNum inflates it with empty splits while the
+    row group remains the real unit."""
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(p):
+        return sum(
+            1
+            for dirpath, _dirs, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(p).metadata.num_row_groups
+    except Exception:
+        return 1  # unreadable/odd layout: assume unsplittable
+
+
 def spread_partitions(spark: SparkSession, input_bytes: int) -> int:
     """Round-robin fan-out width for CPU-heavy per-row pipelines:
     derived from the INPUT SIZE (one partition per
@@ -109,4 +131,14 @@ def load_table_spread(
     df = load_table(spark, sf_dir, name)
     if b < min_bytes:
         return df
-    return df.repartition(spread_partitions(spark, b))
+    n = spread_partitions(spark, b)
+    if _effective_scan_parallelism(sf_dir, name) >= n:
+        # The input is already splittable into at least as many real
+        # units (files / row groups) as the spread would create — on
+        # production many-row-group data the repartition would be one
+        # full extra shuffle for zero or NEGATIVE parallelism gain
+        # (round-6 review finding). NB: Spark's split count cannot be
+        # used for this check — minPartitionNum inflates it with empty
+        # splits; row-group count is the true unit of scan parallelism.
+        return df
+    return df.repartition(n)

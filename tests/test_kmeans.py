@@ -87,9 +87,12 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
 def test_large_k_gemm_assignment_matches_expression_fold(spark, sf_dir):
     """Round-6 (verdict #2): above KM_ASSIGN_GEMM_CELLS the per-row
     assignment switches to an executor-side numpy int64 GEMM argmin
-    over broadcast centroids. Pin that the GEMM path is (a) actually
-    taken at large k and (b) bit-identical to the expression fold —
-    same argmin ties (lowest index) and exact integer dist²."""
+    over broadcast centroids, TILED over rows × centroid blocks so
+    peak memory is block² regardless of k. Pin that the GEMM path is
+    (a) actually taken at large k, (b) bit-identical to the expression
+    fold — same argmin ties (lowest index) and exact integer dist² —
+    and (c) tie-correct ACROSS centroid tiles (tiny block sizes force
+    the duplicated centroid pair into different tiles)."""
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -119,10 +122,11 @@ def test_large_k_gemm_assignment_matches_expression_fold(spark, sf_dir):
     # duplicate centroid 3 at index k-1: ties must break to index 3
     cents[k - 1] = list(cents[3])
 
-    gemm = {
-        r["vec_id"]: (r["cluster"], r["dist2"])
-        for r in _assign_gemm(spark, e, cents).collect()
-    }
+    # tiny tile edges: rows AND centroids split into several tiles, and
+    # the duplicated pair (3, k-1) lands in different centroid tiles
+    adf, bc = _assign_gemm(spark, e, cents, rows_block=64, cent_block=128)
+    gemm = {r["vec_id"]: (r["cluster"], r["dist2"]) for r in adf.collect()}
+    bc.unpersist(blocking=False)
     # independent reference: exact integer math per row
     c = np.array(cents, dtype=object)
     for r in rows:

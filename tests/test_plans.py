@@ -157,3 +157,38 @@ def test_session_aqe_size_targeted_coalescing(spark):
         int(conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
         == 16 * 1024 * 1024
     )
+
+
+def test_spread_skips_already_splittable_inputs(spark, tmp_path):
+    """Round-6 review fix: load_table_spread must not add a shuffle
+    when the input already splits into at least as many real units
+    (files / row groups) as the spread would create — on production
+    many-row-group data the repartition is pure extra cost."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ml_data_pipeline_spark.sources.tables import (
+        _effective_scan_parallelism,
+        load_table_spread,
+        spread_partitions,
+    )
+
+    # single file, MANY row groups >= any spread width we'd pick
+    n_rg = 200
+    tbl = pa.table({"doc_id": list(range(2000)), "text": ["x" * 2000] * 2000})
+    p = tmp_path / "documents.parquet"
+    pq.write_table(tbl, p, row_group_size=10)
+    assert _effective_scan_parallelism(str(tmp_path), "documents") == n_rg
+
+    df = load_table_spread(spark, str(tmp_path), "documents")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" not in plan  # plain scan, no extra exchange
+
+    # and the single-row-group shape still gets the spread
+    pq.write_table(tbl, p)  # default: one row group
+    assert _effective_scan_parallelism(str(tmp_path), "documents") == 1
+    df2 = load_table_spread(spark, str(tmp_path), "documents")
+    plan2 = df2._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" in plan2
+    n = spread_partitions(spark, p.stat().st_size)
+    assert 2 <= n <= spark.sparkContext.defaultParallelism * 3
